@@ -1,0 +1,184 @@
+"""Nearest-hit and any-hit queries over the whole scene.
+
+This is the TPU re-design of ``calcInter`` (rt.frag:587-628) and
+``inShadow`` (rt.frag:630-658).  Instead of serial per-primitive loops with a
+running (tmin, num, type), every ray×primitive test is evaluated at once and
+the winner comes from one argmin over the concatenated primitive axis.
+
+Tie semantics match the reference exactly: the GLSL loops use a strict
+``t < tmin`` and process types in the order planes → spheres → surfaces →
+boxes → toruses → rings → point-light bulbs, so on an exact tie the earlier
+type/index wins.  ``jnp.argmin`` returns the first occurrence of the
+minimum, so concatenating the per-type t-arrays in the same order reproduces
+the behaviour bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from txr.geometry import intersect as gi
+from txr.scene.types import (
+    Scene,
+    TYPE_SPHERE,
+    TYPE_PLANE,
+    TYPE_SURFACE,
+    TYPE_BOX,
+    TYPE_TORUS,
+    TYPE_RING,
+    TYPE_POINT_LIGHT,
+)
+
+MAX_DIST = gi.MAX_DIST
+
+
+def _type_tables(scene: Scene):
+    """Static per-slot (type, index) tables for the concatenated t array."""
+    c = scene.counts
+    order = [
+        (TYPE_PLANE, c["planes"]),
+        (TYPE_SPHERE, c["spheres"]),
+        (TYPE_SURFACE, c["surfaces"]),
+        (TYPE_BOX, c["boxes"]),
+        (TYPE_TORUS, c["toruses"]),
+        (TYPE_RING, c["rings"]),
+        (TYPE_POINT_LIGHT, c["lights_point"]),
+    ]
+    types, idxs = [], []
+    for ty, n in order:
+        types += [ty] * n
+        idxs += list(range(n))
+    return (
+        jnp.asarray(np.array(types, np.int32)),
+        jnp.asarray(np.array(idxs, np.int32)),
+    )
+
+
+def all_t(scene: Scene, ro, rd, one_side_planes=True):
+    """t for every (ray, primitive-slot) pair, [R, N_total], +inf = miss.
+
+    Slot order matches the reference's processing order (see module doc).
+    """
+    parts = []
+    c = scene.counts
+    if c["planes"]:
+        parts.append(
+            gi.plane_t(ro, rd, scene.planes.pos, scene.planes.normal, one_side_planes)
+        )
+    if c["spheres"]:
+        parts.append(
+            gi.sphere_t(ro, rd, scene.spheres.pos, scene.spheres.radius, scene.spheres.hollow)
+        )
+    if c["surfaces"]:
+        s = scene.surfaces
+        parts.append(gi.surface_t(ro, rd, s.pos, s.quat, s.coef, s.v_min, s.v_max))
+    if c["boxes"]:
+        b = scene.boxes
+        parts.append(gi.box_t(ro, rd, b.pos, b.quat, b.form))
+    if c["toruses"]:
+        t = scene.toruses
+        parts.append(gi.torus_t(ro, rd, t.pos, t.quat, t.form))
+    if c["rings"]:
+        r = scene.rings
+        parts.append(gi.ring_t(ro, rd, r.pos, r.quat, r.r1, r.r2))
+    if c["lights_point"]:
+        lp = scene.lights_point
+        # light bulbs are plain (non-hollow) spheres, rt.frag:621-625
+        parts.append(
+            gi.sphere_t(ro, rd, lp.pos, lp.radius, jnp.zeros(lp.pos.shape[0], bool))
+        )
+    if not parts:
+        return jnp.full(ro.shape[:-1] + (0,), jnp.inf, ro.dtype)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def nearest_hit(scene: Scene, ro, rd, one_side_planes=True):
+    """calcInter: → (t [R], type [R] int32, idx [R] int32).
+
+    Misses report t = +inf, type = −1.
+    """
+    t_all = all_t(scene, ro, rd, one_side_planes)
+    if t_all.shape[-1] == 0:
+        R = ro.shape[:-1]
+        return (
+            jnp.full(R, jnp.inf, ro.dtype),
+            jnp.full(R, -1, jnp.int32),
+            jnp.zeros(R, jnp.int32),
+        )
+    type_tab, idx_tab = _type_tables(scene)
+    slot = jnp.argmin(t_all, axis=-1)
+    t = jnp.min(t_all, axis=-1)
+    hit = t < MAX_DIST
+    ty = jnp.where(hit, type_tab[slot], -1)
+    idx = idx_tab[slot]
+    return t, ty, idx
+
+
+def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=True):
+    """inShadow (rt.frag:630-658): any occluder with t < dist casts a full
+    shadow (factor 1), except textured rings which attenuate by their
+    texture alpha at the hit UV (rt.frag:643-651).  Spheres are tested
+    non-hollow (rt.frag:636); one-sided planes don't occlude
+    (rt.frag:652-655).
+
+    ro, rd [R,3]; dist [R].  Returns shadow ∈ [0,1], [R].
+    """
+    c = scene.counts
+    R = ro.shape[:-1]
+    solid = jnp.zeros(R, bool)
+
+    def occludes(t_rp):
+        return jnp.any(t_rp < dist[..., None], axis=-1)
+
+    if c["spheres"]:
+        sp = scene.spheres
+        solid |= occludes(
+            gi.sphere_t(ro, rd, sp.pos, sp.radius, jnp.zeros(sp.pos.shape[0], bool))
+        )
+    if c["surfaces"]:
+        s = scene.surfaces
+        solid |= occludes(gi.surface_t(ro, rd, s.pos, s.quat, s.coef, s.v_min, s.v_max))
+    if c["boxes"]:
+        b = scene.boxes
+        solid |= occludes(gi.box_t(ro, rd, b.pos, b.quat, b.form))
+    if c["toruses"]:
+        to = scene.toruses
+        solid |= occludes(gi.torus_t(ro, rd, to.pos, to.quat, to.form))
+    if not one_side_planes and c["planes"]:
+        solid |= occludes(
+            gi.plane_t(ro, rd, scene.planes.pos, scene.planes.normal, one_side_planes)
+        )
+
+    shadow = solid.astype(ro.dtype)
+
+    if c["rings"]:
+        r = scene.rings
+        t_r = gi.ring_t(ro, rd, r.pos, r.quat, r.r1, r.r2)       # [R,P]
+        hit_r = t_r < dist[..., None]
+        textured = r.texture > 0
+        # untextured ring hit = full shadow
+        shadow = jnp.maximum(
+            shadow, jnp.any(hit_r & ~textured, axis=-1).astype(ro.dtype)
+        )
+        if textures is not None and textures.ring is not None:
+            # textured rings accumulate their texture alpha
+            P = r.pos.shape[0]
+            t_safe = jnp.where(hit_r, t_r, 0.0)
+            uv = gi.ring_uv(
+                ro[..., None, :], rd[..., None, :], t_safe,
+                r.pos, r.quat, r.r1, r.r2,
+            )  # [R,P,2]
+            from txr.render.texture import sample_ring_texture
+
+            alpha = sample_ring_texture(textures, uv)[..., 3]
+            shadow = shadow + jnp.sum(
+                jnp.where(hit_r & textured, alpha, 0.0), axis=-1
+            )
+        else:
+            # textured ring but no texture data loaded → treat as opaque
+            shadow = jnp.maximum(
+                shadow, jnp.any(hit_r & textured, axis=-1).astype(ro.dtype)
+            )
+
+    return jnp.minimum(shadow, 1.0)

@@ -1,0 +1,40 @@
+"""Top-level render entry: rays → trace → supersample-average → image.
+
+The draw-call equivalent of GLWrapper::draw() (GLWrapper.cpp:155-207), with
+the SMAA passes replaced by differentiable supersampling: render at
+``cfg.supersample``× resolution and box-average — trivially differentiable,
+unlike SMAA's LUT searches (design per SURVEY §2.2 / BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from txr.render.raygen import primary_rays
+from txr.render.trace import RenderConfig, trace
+
+
+def render(scene, textures, cfg: RenderConfig):
+    """→ image [H, W, 3] float32, row 0 = top."""
+    ss = cfg.supersample
+    ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, ss)
+    color = trace(scene, textures, cfg, ro, rd)
+    if ss > 1:
+        # [H*ss, W*ss] sample grid, row-major → average each ss×ss block
+        img = color.reshape(cfg.height, ss, cfg.width, ss, 3).mean(axis=(1, 3))
+    else:
+        img = color.reshape(cfg.height, cfg.width, 3)
+    return img
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def render_jit(scene, textures, cfg: RenderConfig):
+    """jit'd render — cfg is static, scene/textures are traced pytrees, so
+    scene parameter updates (animation, optimisation steps) don't retrace.
+    This is the analog of the reference's shader-compile moment
+    (GLWrapper::init_shaders, GLWrapper.cpp:232-247): topology and flags
+    bake in, parameters stream in per call."""
+    return render(scene, textures, cfg)

@@ -1,0 +1,378 @@
+"""The bounce loop: rt.frag main() (rt.frag:804-902) as a masked lax loop.
+
+TPU control-flow design: a fragment shader breaks out of its loop per pixel;
+a TPU batch cannot.  Every ray runs the same fixed number of loop steps with
+a per-ray ``alive`` mask — dead rays keep their state, and every state
+update is a ``where`` on the masks.  The mask-accumulator rendering equation
+is the reference's own (color += contribution · mask, rt.frag:812-813), so
+it maps 1:1.
+
+Iteration budget: the GLSL loop runs ITERATIIONS (= reflect_depth = 5) hits,
+but a refraction event does NOT consume an iteration (the `i--` at
+rt.frag:870-872).  Here each ray carries a bounce counter that refractive
+hits don't increment; the static loop length is
+``iterations + extra_refraction_steps`` so every ray can spend its full
+budget even after several refraction events.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from txr.geometry import intersect as gi
+from txr.geometry import quaternion as quat
+from txr.render import texture as tx
+from txr.render.intersect import nearest_hit, MAX_DIST
+from txr.render.shading import (
+    calc_shade,
+    fresnel_reflect_amount,
+    fresnel_schlick,
+    reflect,
+    refract,
+)
+from txr.scene.types import (
+    TYPE_SPHERE,
+    TYPE_PLANE,
+    TYPE_SURFACE,
+    TYPE_BOX,
+    TYPE_TORUS,
+    TYPE_RING,
+    TYPE_POINT_LIGHT,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render options — the TPU analog of the reference's GLSL
+    feature #defines (rt.frag:15-22) and template defines (rt.frag:122-132).
+    Hashable → usable as a jit static argument; flipping a flag retraces,
+    exactly like editing a #define recompiled the shader."""
+
+    width: int = 1280
+    height: int = 720
+    iterations: int = 5               # reflect_depth, SceneManager.cpp:233
+    supersample: int = 1              # SSAA factor (replaces SMAA)
+    extra_refraction_steps: int = 8   # budget for the i-- refraction steps
+    shadow_enabled: bool = True       # SHADOW_ENABLED, rt.frag:15
+    do_fresnel: bool = True           # DO_FRESNEL, rt.frag:20
+    total_internal_reflection: bool = True  # rt.frag:19
+    plane_oneside: bool = True        # PLANE_ONESIDE, rt.frag:21
+    reflect_reduce_iteration: bool = True   # rt.frag:22
+    # Static switch for the refractive-glossy extra pass
+    # (getReflectedColor, rt.frag:787-802).  It costs a full nearest-hit +
+    # shade per bounce, so scenes with no refractive+reflective material
+    # should disable it (the reference pays the cost only on rays that take
+    # the branch; a masked TPU batch pays it for everyone).
+    refractive_glossy: bool = True
+
+    @property
+    def max_steps(self):
+        if self.reflect_reduce_iteration:
+            return self.iterations + self.extra_refraction_steps
+        return self.iterations
+
+
+def hit_info(scene, textures, ro, rd, t, ty, idx):
+    """get_hit_info (rt.frag:744-784): per-ray normal, material (with
+    texturing applied to the colour), alpha, and the distance-scaled
+    shadow-acne bias.
+
+    Each primitive type's info is recomputed only per-ray (cheap [R]-sized
+    gathers) and blended by the type mask — the TPU version of the GLSL
+    if-chain.
+    """
+    R = t.shape
+    dt = ro.dtype
+    c = scene.counts
+
+    n_out = jnp.zeros(R + (3,), dt)
+    color = jnp.zeros(R + (3,), dt)
+    absorb = jnp.zeros(R + (3,), dt)
+    diffuse = jnp.zeros(R, dt)
+    reflection = jnp.zeros(R, dt)
+    refraction = jnp.zeros(R, dt)
+    specular = jnp.zeros(R, dt)
+    kd = jnp.zeros(R, dt)
+    ks = jnp.zeros(R, dt)
+    alpha = jnp.ones(R, dt)
+
+    t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+    pt = ro + rd * t_safe[..., None]
+
+    def blend(sel, mat, i, n, a=None, col_override=None):
+        nonlocal n_out, color, absorb, diffuse, reflection, refraction
+        nonlocal specular, kd, ks, alpha
+        s1 = sel[..., None]
+        n_out = jnp.where(s1, n, n_out)
+        col = mat.color[i] if col_override is None else col_override
+        color = jnp.where(s1, col, color)
+        absorb = jnp.where(s1, mat.absorb[i], absorb)
+        diffuse = jnp.where(sel, mat.diffuse[i], diffuse)
+        reflection = jnp.where(sel, mat.reflect[i], reflection)
+        refraction = jnp.where(sel, mat.refract[i], refraction)
+        specular = jnp.where(sel, mat.specular[i], specular)
+        kd = jnp.where(sel, mat.kd[i], kd)
+        ks = jnp.where(sel, mat.ks[i], ks)
+        if a is not None:
+            alpha = jnp.where(sel, a, alpha)
+
+    if c["spheres"]:
+        sp = scene.spheres
+        i = jnp.clip(idx, 0, c["spheres"] - 1)
+        sel = ty == TYPE_SPHERE
+        n = gi.sphere_normal(pt, sp.pos[i])
+        col, a = None, None
+        if len(textures.sphere):
+            tex_num = sp.texture[i]
+            # getSphereTexture rotates the normal by the sphere quat first
+            # (rt.frag:320-322)
+            texc = tx.sample_sphere_texture(textures, tex_num, quat.rotate(sp.quat[i], n))
+            textured = tex_num > 0
+            col = jnp.where(textured[..., None], texc[..., :3], sp.mat.color[i])
+            a = jnp.where(textured, texc[..., 3], 1.0)
+        blend(sel, sp.mat, i, n, a, col)
+
+    if c["planes"]:
+        pl = scene.planes
+        i = jnp.clip(idx, 0, c["planes"] - 1)
+        nrm = pl.normal[i]
+        n = gi.safe_normalize(nrm)
+        blend(ty == TYPE_PLANE, pl.mat, i, n)
+
+    if c["surfaces"]:
+        su = scene.surfaces
+        i = jnp.clip(idx, 0, c["surfaces"] - 1)
+        n = gi.surface_normal(ro, rd, t_safe, su.pos[i], su.quat[i], su.coef[i])
+        blend(ty == TYPE_SURFACE, su.mat, i, n)
+
+    if c["boxes"]:
+        bx = scene.boxes
+        i = jnp.clip(idx, 0, c["boxes"] - 1)
+        sel = ty == TYPE_BOX
+        n = gi.box_normal(ro, rd, bx.pos[i], bx.quat[i], bx.form[i])
+        col = None
+        if textures.box is not None:
+            texc = tx.sample_box_texture(textures, pt, n, bx.pos[i], bx.quat[i])
+            col = jnp.where((bx.texture[i] > 0)[..., None], texc[..., :3], bx.mat.color[i])
+        blend(sel, bx.mat, i, n, None, col)
+
+    if c["toruses"]:
+        to = scene.toruses
+        i = jnp.clip(idx, 0, c["toruses"] - 1)
+        n = gi.torus_normal(ro, rd, t_safe, to.pos[i], to.quat[i], to.form[i])
+        blend(ty == TYPE_TORUS, to.mat, i, n)
+
+    if c["rings"]:
+        ri = scene.rings
+        i = jnp.clip(idx, 0, c["rings"] - 1)
+        sel = ty == TYPE_RING
+        n = gi.ring_normal(ri.quat[i])
+        col, a = None, None
+        if textures.ring is not None:
+            uv = gi.ring_uv(ro, rd, t_safe, ri.pos[i], ri.quat[i], ri.r1[i], ri.r2[i])
+            texc = tx.sample_ring_texture(textures, uv)
+            textured = ri.texture[i] > 0
+            col = jnp.where(textured[..., None], texc[..., :3], ri.mat.color[i])
+            a = jnp.where(textured, texc[..., 3], 1.0)
+        blend(sel, ri.mat, i, n, a, col)
+
+    bias = (9e-3 * t_safe + 35.0) / 35e3  # rt.frag:780-782
+
+    return dict(
+        pt=pt,
+        normal=n_out,
+        color=color,
+        absorb=absorb,
+        diffuse=diffuse,
+        reflection=reflection,
+        refraction=refraction,
+        specular=specular,
+        kd=kd,
+        ks=ks,
+        alpha=alpha,
+        bias=bias,
+    )
+
+
+def _background(scene, textures, rd):
+    if textures.cubemap is not None:
+        return tx.sample_cubemap(textures.cubemap, rd)
+    return jnp.broadcast_to(scene.bg_color, rd.shape)
+
+
+def _reflected_color(scene, textures, cfg, ro, rd):
+    """getReflectedColor (rt.frag:787-802): ONE extra nearest-hit + shade
+    for the glossy component of refractive surfaces (not recursive)."""
+    t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside)
+    hi = hit_info(scene, textures, ro, rd, t, ty, idx)
+    is_light = ty == TYPE_POINT_LIGHT
+    hit = jnp.isfinite(t) & (ty >= 0) & ~is_light
+
+    n = hi["normal"]
+    facing = jnp.sum(rd * n, axis=-1) < 0
+    ro2 = jnp.where(
+        facing[..., None],
+        hi["pt"] + n * hi["bias"][..., None],
+        hi["pt"] - n * hi["bias"][..., None],
+    )
+    shade = calc_shade(
+        scene, textures, ro2, rd,
+        hi["color"], hi["diffuse"], hi["specular"], hi["kd"], hi["ks"],
+        n, True, cfg.shadow_enabled, cfg.plane_oneside,
+    )
+    color = jnp.where(hit[..., None], shade, 0.0)
+    if scene.counts["lights_point"]:
+        lcol = scene.lights_point.color[jnp.clip(idx, 0, scene.counts["lights_point"] - 1)]
+        color = jnp.where(is_light[..., None], lcol, color)
+    return color
+
+
+def trace(scene, textures, cfg: RenderConfig, ro, rd):
+    """The iterative bounce loop (rt.frag:804-902).  ro, rd: [R,3] →
+    RGB [R,3]."""
+    R = ro.shape[:-1]
+    dt = ro.dtype
+
+    state = dict(
+        ro=ro,
+        rd=rd,
+        color=jnp.zeros(R + (3,), dt),
+        mask=jnp.ones(R + (3,), dt),
+        absorb_dist=jnp.zeros(R, dt),
+        bounces=jnp.zeros(R, jnp.int32),   # the GLSL `i`
+        alive=jnp.ones(R, bool),
+    )
+
+    has_lights = scene.counts["lights_point"] > 0
+
+    def body(_, st):
+        ro, rd = st["ro"], st["rd"]
+        alive = st["alive"]
+        color, mask = st["color"], st["mask"]
+        absorb_dist = st["absorb_dist"]
+        bounces = st["bounces"]
+
+        t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside)
+        hit = jnp.isfinite(t)
+        act = alive & hit
+
+        # -- miss → environment (rt.frag:892-895)
+        miss = alive & ~hit
+        color = jnp.where(
+            miss[..., None], color + _background(scene, textures, rd) * mask, color
+        )
+        alive = alive & hit
+
+        # -- light bulb hit (rt.frag:829-832)
+        if has_lights:
+            is_light = act & (ty == TYPE_POINT_LIGHT)
+            lcol = scene.lights_point.color[
+                jnp.clip(idx, 0, scene.counts["lights_point"] - 1)
+            ]
+            color = jnp.where(is_light[..., None], color + lcol * mask, color)
+            alive = alive & ~is_light
+            act = act & ~is_light
+
+        hi = hit_info(scene, textures, ro, rd, t, ty, idx)
+        n = hi["normal"]
+        outside = jnp.sum(rd * n, axis=-1) < 0.0     # rt.frag:837
+        n = jnp.where(outside[..., None], n, -n)
+        pt = hi["pt"]
+        bias = hi["bias"][..., None]
+
+        refr_idx = hi["refraction"]
+        refl = hi["reflection"]
+        is_refractive = refr_idx > 0.0
+
+        # -- Fresnel split (rt.frag:840-849)
+        if cfg.total_internal_reflection:
+            n1 = jnp.where(outside, 1.0, refr_idx)
+            n2 = jnp.where(outside, refr_idx, 1.0)
+            rm_refr = fresnel_reflect_amount(n1, n2, rd, n, refl, cfg.do_fresnel)
+            reflect_mult = jnp.where(
+                is_refractive, rm_refr, fresnel_schlick(n, rd, refl)
+            )
+        else:
+            reflect_mult = fresnel_schlick(n, rd, refl)
+        refract_mult = 1.0 - reflect_mult
+
+        shade_origin_out = pt + n * bias
+        shade_origin_in = pt - n * bias
+
+        # ---- refractive branch (rt.frag:851-873) -------------------------
+        refr_act = act & is_refractive
+        glossy = refr_act & outside & (refl > 0.0)
+        if cfg.refractive_glossy:
+            rc = _reflected_color(scene, textures, cfg, shade_origin_out, reflect(rd, n))
+            color = jnp.where(
+                glossy[..., None],
+                color + rc * reflect_mult[..., None] * mask,
+                color,
+            )
+            mask = jnp.where(glossy[..., None], mask * refract_mult[..., None], mask)
+
+        inside = refr_act & ~outside
+        absorb_dist = jnp.where(inside, absorb_dist + t, absorb_dist)
+        beer = jnp.exp(-hi["absorb"] * absorb_dist[..., None])
+        mask = jnp.where(inside[..., None], mask * beer, mask)
+
+        if cfg.total_internal_reflection:
+            tir = refr_act & (reflect_mult >= 1.0)   # rt.frag:865-866
+            alive = alive & ~tir
+            refr_act = refr_act & ~tir
+
+        eta = jnp.where(outside, 1.0 / jnp.maximum(refr_idx, 1e-6), refr_idx)
+        new_rd_refr = refract(rd, n, eta)
+        ro = jnp.where(refr_act[..., None], shade_origin_in, ro)
+        rd = jnp.where(refr_act[..., None], new_rd_refr, rd)
+
+        # ---- reflective branch (rt.frag:874-880) -------------------------
+        refl_act = act & ~is_refractive & (refl > 0.0)
+        # ---- diffuse branch (rt.frag:881-890) ----------------------------
+        diff_act = act & ~is_refractive & (refl <= 0.0)
+
+        needs_shade = refl_act | diff_act
+        shade = calc_shade(
+            scene, textures, shade_origin_out, rd,
+            hi["color"], hi["diffuse"], hi["specular"], hi["kd"], hi["ks"],
+            n, True, cfg.shadow_enabled, cfg.plane_oneside,
+        )
+        shade = jnp.where(needs_shade[..., None], shade, 0.0)
+
+        color = jnp.where(
+            refl_act[..., None],
+            color + shade * refract_mult[..., None] * mask,
+            color,
+        )
+        new_rd_refl = reflect(rd, n)
+        ro = jnp.where(refl_act[..., None], shade_origin_out, ro)
+        rd = jnp.where(refl_act[..., None], new_rd_refl, rd)
+        mask = jnp.where(refl_act[..., None], mask * reflect_mult[..., None], mask)
+
+        alpha = hi["alpha"]
+        color = jnp.where(
+            diff_act[..., None], color + shade * mask * alpha[..., None], color
+        )
+        translucent = diff_act & (alpha < 1.0)
+        ro = jnp.where(translucent[..., None], shade_origin_in, ro)
+        mask = jnp.where(translucent[..., None], mask * (1.0 - alpha[..., None]), mask)
+        alive = alive & ~(diff_act & (alpha >= 1.0))
+
+        # ---- iteration accounting (the GLSL i-- at rt.frag:870-872) ------
+        if cfg.reflect_reduce_iteration:
+            consumed = act & ~refr_act
+        else:
+            consumed = act
+        bounces = jnp.where(consumed, bounces + 1, bounces)
+        alive = alive & (bounces < cfg.iterations)
+
+        return dict(
+            ro=ro, rd=rd, color=color, mask=mask,
+            absorb_dist=absorb_dist, bounces=bounces, alive=alive,
+        )
+
+    state = jax.lax.fori_loop(0, cfg.max_steps, body, state)
+    return state["color"]
