@@ -1,21 +1,27 @@
 """Test environment: CPU backend with 8 virtual devices.
 
-Must run before any jax import: the axon TPU tunnel is per-op slow (only fit
-for whole-jit benchmarks) and sitecustomize force-registers it unless the
-pool IP is cleared.  The 8-device CPU mesh is the SURVEY §4.4 stand-in for
-multi-chip sharding tests.
+The axon sitecustomize imports jax and registers the (per-op slow) TPU
+tunnel at interpreter startup — before conftest runs — so plain env vars are
+too late here.  ``jax.config.update`` still works because backends
+initialise lazily, and XLA_FLAGS is read at first backend init.  The
+8-device CPU mesh is the SURVEY §4.4 stand-in for multi-chip sharding
+tests.
 """
 
 import os
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
 @pytest.fixture

@@ -102,18 +102,19 @@ def _dk_solve(ro, rd, R, r):
     early-exit loop: converged lanes take zero-size steps).  Returns the four
     roots as [..., 4, 2] (re, im)."""
 
-    shape = R.shape
-    dt = R.dtype
+    # Seeds derived from the (device-varying) ray arrays rather than fresh
+    # constants so the fori_loop carry has a consistent sharding type under
+    # shard_map (replicated-in/varying-out carries are rejected).
+    zero = ro[..., 0] * 0.0
 
     def seed(re, im):
-        z = jnp.zeros(shape + (2,), dt)
-        return z.at[..., 0].set(re).at[..., 1].set(im)
+        return jnp.stack([zero + re, zero + im], axis=-1)
 
     c0 = seed(1.0, 0.0)                       # rt.frag:467-470
     c1 = seed(0.4, 0.9)
-    w = jnp.asarray([0.4, 0.9], dt)
-    c2 = _cmul(c1, jnp.broadcast_to(w, c1.shape))
-    c3 = _cmul(c2, jnp.broadcast_to(w, c2.shape))
+    w = seed(0.4, 0.9)
+    c2 = _cmul(c1, w)
+    c3 = _cmul(c2, w)
 
     def step(ci, ca, cb, cc):
         """DKstep (rt.frag:456-461): ci -= f(ci) / ((ci-ca)(ci-cb)(ci-cc))."""

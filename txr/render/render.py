@@ -21,7 +21,22 @@ def render(scene, textures, cfg: RenderConfig):
     """→ image [H, W, 3] float32, row 0 = top."""
     ss = cfg.supersample
     ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, ss)
-    color = trace(scene, textures, cfg, ro, rd)
+    if cfg.ray_chunk:
+        n = ro.shape[0]
+        chunk = cfg.ray_chunk
+        pad = (-n) % chunk
+        if pad:
+            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))])
+            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
+        ro = ro.reshape(-1, chunk, 3)
+        rd = rd.reshape(-1, chunk, 3)
+        color = jax.lax.map(
+            lambda ord_: trace(scene, textures, cfg, ord_[0], ord_[1]), (ro, rd)
+        ).reshape(-1, 3)
+        if pad:
+            color = color[:n]
+    else:
+        color = trace(scene, textures, cfg, ro, rd)
     if ss > 1:
         # [H*ss, W*ss] sample grid, row-major → average each ss×ss block
         img = color.reshape(cfg.height, ss, cfg.width, ss, 3).mean(axis=(1, 3))

@@ -61,6 +61,17 @@ class RenderConfig:
     total_internal_reflection: bool = True  # rt.frag:19
     plane_oneside: bool = True        # PLANE_ONESIDE, rt.frag:21
     reflect_reduce_iteration: bool = True   # rt.frag:22
+    # Rays per sequential chunk (0 = whole batch at once).  Chunking bounds
+    # the peak [rays × primitives] working set: the flat ray batch is
+    # processed by a lax.map over chunks, so HBM holds one chunk's
+    # intermediates at a time.  Powers of two aligned to the 8×128 VPU tile
+    # (e.g. 262144) keep layouts clean.
+    ray_chunk: int = 0
+    # Rematerialise each bounce in the backward pass: saves only the loop
+    # carry per bounce instead of every intermediate (the [R, P] intersect
+    # arrays), trading ~2x forward FLOPs inside the backward for O(R) memory.
+    # Essential at 1080p+ on a 16GB chip.
+    remat: bool = True
     # Static switch for the refractive-glossy extra pass
     # (getReflectedColor, rt.frag:787-802).  It costs a full nearest-hit +
     # shade per bounce, so scenes with no refractive+reflective material
@@ -236,14 +247,19 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
     R = ro.shape[:-1]
     dt = ro.dtype
 
+    # Initial carry derived from the ray arrays (not fresh constants) so the
+    # values inherit the rays' device-varying sharding under shard_map —
+    # otherwise the loop carry would be replicated-in/varying-out, which the
+    # shard_map VMA check rejects.
+    zero = ro[..., 0] * 0.0
     state = dict(
         ro=ro,
         rd=rd,
-        color=jnp.zeros(R + (3,), dt),
-        mask=jnp.ones(R + (3,), dt),
-        absorb_dist=jnp.zeros(R, dt),
-        bounces=jnp.zeros(R, jnp.int32),   # the GLSL `i`
-        alive=jnp.ones(R, bool),
+        color=ro * 0.0,
+        mask=ro * 0.0 + 1.0,
+        absorb_dist=zero,
+        bounces=zero.astype(jnp.int32),    # the GLSL `i`
+        alive=zero == 0.0,
     )
 
     has_lights = scene.counts["lights_point"] > 0
@@ -374,5 +390,10 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
             absorb_dist=absorb_dist, bounces=bounces, alive=alive,
         )
 
-    state = jax.lax.fori_loop(0, cfg.max_steps, body, state)
+    def scan_body(st, _):
+        return body(0, st), None
+
+    if cfg.remat:
+        scan_body = jax.checkpoint(scan_body)
+    state, _ = jax.lax.scan(scan_body, state, None, length=cfg.max_steps)
     return state["color"]

@@ -1,0 +1,88 @@
+"""Scene / optimisation checkpointing (SURVEY §5).
+
+The reference rebuilds its scene from code every run (main.cpp:43-132) with
+no persistence.  TXR scenes are pytrees, so serialisation is: topology
+(counts, dtypes, texture assignment — the static part that the reference
+baked into shader defines) as JSON structure + parameters as an .npz —
+enough to resume an inverse-rendering run or re-render a saved scene, with
+no orbax dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if dataclasses.is_dataclass(tree):
+        for f in dataclasses.fields(tree):
+            out.update(_flatten(getattr(tree, f.name), f"{prefix}{f.name}."))
+    elif isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten(tree[k], f"{prefix}{k}."))
+    elif isinstance(tree, (tuple, list)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}."))
+    elif tree is None:
+        out[prefix[:-1] + "#none"] = None
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_scene(path, scene, textures=None, extra=None):
+    """Write scene (and optionally textures / extra arrays) to ``path``
+    (.npz).  Returns path."""
+    flat = {f"scene.{k}": v for k, v in _flatten(scene).items()}
+    if textures is not None:
+        flat.update({f"tex.{k}": v for k, v in _flatten(textures).items()})
+    if extra:
+        flat.update({f"extra.{k}": v for k, v in _flatten(extra).items()})
+    arrays = {k: v for k, v in flat.items() if v is not None}
+    meta = {"none_keys": [k for k, v in flat.items() if v is None]}
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    return path
+
+
+def load_arrays(path):
+    """→ dict of {dotted path: np.ndarray} plus the set of None keys."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    arrays = {k: data[k] for k in data.files if k != "__meta__"}
+    return arrays, set(meta.get("none_keys", []))
+
+
+def restore_scene(path, scene_template, textures_template=None):
+    """Rebuild (scene, textures) from a checkpoint using templates for the
+    pytree structure (the 'topology'); array values come from the file."""
+    arrays, _ = load_arrays(path)
+
+    def rebuild(template, prefix):
+        if dataclasses.is_dataclass(template):
+            kw = {
+                f.name: rebuild(getattr(template, f.name), f"{prefix}{f.name}.")
+                for f in dataclasses.fields(template)
+            }
+            return dataclasses.replace(template, **kw)
+        if isinstance(template, tuple):
+            return tuple(
+                rebuild(v, f"{prefix}{i}.") for i, v in enumerate(template)
+            )
+        if template is None:
+            return None
+        key = prefix[:-1]
+        arr = arrays[key]
+        return jnp.asarray(arr, dtype=jnp.asarray(template).dtype)
+
+    scene = rebuild(scene_template, "scene.")
+    textures = (
+        rebuild(textures_template, "tex.") if textures_template is not None else None
+    )
+    return scene, textures

@@ -1,0 +1,43 @@
+"""Image IO helpers: save/load renders, side-by-side strips, tonemap."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_uint8(img, clip=True):
+    img = np.asarray(img, np.float64)
+    if clip:
+        img = np.clip(img, 0.0, 1.0)
+    return (img * 255.0 + 0.5).astype(np.uint8)
+
+
+def save_png(path, img):
+    """Save [H,W,3] float (0..1) or uint8 image."""
+    from PIL import Image
+
+    arr = img if np.asarray(img).dtype == np.uint8 else to_uint8(img)
+    Image.fromarray(arr).save(path)
+    return path
+
+
+def load_image(path, dtype=np.float32):
+    """Load an image file → [H,W,4] float RGBA in [0,1] (for TextureSet)."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGBA"), np.float64) / 255.0
+    return img.astype(dtype)
+
+
+def side_by_side(*imgs, gap=4):
+    h = max(i.shape[0] for i in imgs)
+    parts = []
+    for k, img in enumerate(imgs):
+        img = np.asarray(img, np.float64)
+        if img.shape[0] < h:
+            pad = np.zeros((h - img.shape[0],) + img.shape[1:])
+            img = np.concatenate([img, pad], axis=0)
+        parts.append(img)
+        if k != len(imgs) - 1:
+            parts.append(np.ones((h, gap, img.shape[-1])))
+    return np.concatenate(parts, axis=1)
