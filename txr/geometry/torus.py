@@ -161,11 +161,12 @@ def torus_t(ro, rd, pos, q, form):
     c4, c3, c2, c1, c0 = _quartic_coeffs(rol, rdl, R, r)
     t0 = sg(t0)
     ts = jnp.where(hit, t0, 0.0)
-    f = (((c4 * ts + c3) * ts + c2) * ts + c1) * ts + c0
-    fp = ((4.0 * c4 * ts + 3.0 * c3) * ts + 2.0 * c2) * ts + c1
-    fp_safe = jnp.where(jnp.abs(fp) > 1e-6, fp, jnp.where(fp >= 0, 1e-6, -1e-6))
-    t = ts - f / fp_safe
-    return jnp.where(hit, t, INF)
+    for _ in range(2):  # two Newton polishes: tight roots, same implicit grad
+        f = (((c4 * ts + c3) * ts + c2) * ts + c1) * ts + c0
+        fp = ((4.0 * c4 * ts + 3.0 * c3) * ts + 2.0 * c2) * ts + c1
+        fp_safe = jnp.where(jnp.abs(fp) > 1e-6, fp, jnp.where(fp >= 0, 1e-6, -1e-6))
+        ts = ts - f / fp_safe
+    return jnp.where(hit, ts, INF)
 
 
 def torus_normal(ro, rd, t, pos, q, form):

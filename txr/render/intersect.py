@@ -16,6 +16,7 @@ the behaviour bit-for-bit.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from txr.geometry import intersect as gi
@@ -93,25 +94,117 @@ def all_t(scene: Scene, ro, rd, one_side_planes=True):
     return jnp.concatenate(parts, axis=-1)
 
 
-def nearest_hit(scene: Scene, ro, rd, one_side_planes=True):
+def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True):
+    """Differentiable t for an already-chosen (type, index) winner per ray.
+
+    Gathers the single winning primitive's parameters and re-runs its
+    intersector — O(R) instead of O(R·P) — so the backward pass touches one
+    primitive per ray.  The discrete (ty, idx) choice is piecewise constant
+    in the scene parameters, so detaching it is exact away from silhouettes
+    (the same argument as the argmin itself).
+    """
+    c = scene.counts
+    R = ty.shape
+    t = jnp.full(R, jnp.inf, ro.dtype)
+
+    def one(t_rp):
+        # [R, 1] single-primitive result → [R]
+        return t_rp[..., 0]
+
+    if c["planes"]:
+        i = jnp.clip(idx, 0, c["planes"] - 1)
+        tv = one(
+            gi.plane_t(ro, rd, scene.planes.pos[i][..., None, :],
+                       scene.planes.normal[i][..., None, :], one_side_planes)
+        )
+        t = jnp.where(ty == TYPE_PLANE, tv, t)
+    if c["spheres"]:
+        sp = scene.spheres
+        i = jnp.clip(idx, 0, c["spheres"] - 1)
+        tv = one(
+            gi.sphere_t(ro, rd, sp.pos[i][..., None, :], sp.radius[i][..., None],
+                        sp.hollow[i][..., None])
+        )
+        t = jnp.where(ty == TYPE_SPHERE, tv, t)
+    if c["surfaces"]:
+        s = scene.surfaces
+        i = jnp.clip(idx, 0, c["surfaces"] - 1)
+        tv = one(
+            gi.surface_t(ro, rd, s.pos[i][..., None, :], s.quat[i][..., None, :],
+                         s.coef[i][..., None, :], s.v_min[i][..., None, :],
+                         s.v_max[i][..., None, :])
+        )
+        t = jnp.where(ty == TYPE_SURFACE, tv, t)
+    if c["boxes"]:
+        b = scene.boxes
+        i = jnp.clip(idx, 0, c["boxes"] - 1)
+        tv = one(
+            gi.box_t(ro, rd, b.pos[i][..., None, :], b.quat[i][..., None, :],
+                     b.form[i][..., None, :])
+        )
+        t = jnp.where(ty == TYPE_BOX, tv, t)
+    if c["toruses"]:
+        to = scene.toruses
+        i = jnp.clip(idx, 0, c["toruses"] - 1)
+        tv = one(
+            gi.torus_t(ro, rd, to.pos[i][..., None, :], to.quat[i][..., None, :],
+                       to.form[i][..., None, :])
+        )
+        t = jnp.where(ty == TYPE_TORUS, tv, t)
+    if c["rings"]:
+        r = scene.rings
+        i = jnp.clip(idx, 0, c["rings"] - 1)
+        tv = one(
+            gi.ring_t(ro, rd, r.pos[i][..., None, :], r.quat[i][..., None, :],
+                      r.r1[i][..., None], r.r2[i][..., None])
+        )
+        t = jnp.where(ty == TYPE_RING, tv, t)
+    if c["lights_point"]:
+        lp = scene.lights_point
+        i = jnp.clip(idx, 0, c["lights_point"] - 1)
+        tv = one(
+            gi.sphere_t(ro, rd, lp.pos[i][..., None, :], lp.radius[i][..., None],
+                        jnp.zeros(R + (1,), bool))
+        )
+        t = jnp.where(ty == TYPE_POINT_LIGHT, tv, t)
+    return t
+
+
+def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="jnp"):
     """calcInter: → (t [R], type [R] int32, idx [R] int32).
 
     Misses report t = +inf, type = −1.
+
+    The winner search (argmin over every primitive slot) runs detached —
+    via the fused Pallas kernel when backend="pallas", else the batched jnp
+    sweep — and the returned t is recomputed differentiably for the single
+    winning primitive per ray (t_of_winner).  This keeps the backward pass
+    O(R) instead of O(R·P).
     """
-    t_all = all_t(scene, ro, rd, one_side_planes)
-    if t_all.shape[-1] == 0:
-        R = ro.shape[:-1]
+    R = ro.shape[:-1]
+    sg = jax.lax.stop_gradient
+    type_tab, idx_tab = _type_tables(scene)
+    if type_tab.shape[0] == 0:
         return (
             jnp.full(R, jnp.inf, ro.dtype),
             jnp.full(R, -1, jnp.int32),
             jnp.zeros(R, jnp.int32),
         )
-    type_tab, idx_tab = _type_tables(scene)
-    slot = jnp.argmin(t_all, axis=-1)
-    t = jnp.min(t_all, axis=-1)
-    hit = t < MAX_DIST
+    if backend == "pallas":
+        from txr.kernels.pallas_intersect import nearest_hit_pallas
+
+        t0, slot = nearest_hit_pallas(sg(scene), sg(ro), sg(rd), one_side_planes)
+    else:
+        t_all = sg(all_t(scene, ro, rd, one_side_planes))
+        slot = jnp.argmin(t_all, axis=-1)
+        t0 = jnp.min(t_all, axis=-1)
+    hit = t0 < MAX_DIST
     ty = jnp.where(hit, type_tab[slot], -1)
     idx = idx_tab[slot]
+    t = t_of_winner(scene, ro, rd, ty, idx, one_side_planes)
+    # forward value = the exact detached min; gradients come from the
+    # winner recompute (identical value away from ties/silhouettes)
+    t = t0 + jnp.where(jnp.isfinite(t), t - sg(t), 0.0)
     return t, ty, idx
 
 

@@ -61,6 +61,10 @@ class RenderConfig:
     total_internal_reflection: bool = True  # rt.frag:19
     plane_oneside: bool = True        # PLANE_ONESIDE, rt.frag:21
     reflect_reduce_iteration: bool = True   # rt.frag:22
+    # Winner-search backend for nearest_hit: "jnp" (XLA-fused sweep) or
+    # "pallas" (fused VMEM-tiled kernel).  The differentiable path is the
+    # same winner-recompute either way.
+    backend: str = "jnp"
     # Rays per sequential chunk (0 = whole batch at once).  Chunking bounds
     # the peak [rays × primitives] working set: the flat ray batch is
     # processed by a lax.map over chunks, so HBM holds one chunk's
@@ -217,7 +221,7 @@ def _background(scene, textures, rd):
 def _reflected_color(scene, textures, cfg, ro, rd):
     """getReflectedColor (rt.frag:787-802): ONE extra nearest-hit + shade
     for the glossy component of refractive surfaces (not recursive)."""
-    t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside)
+    t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside, cfg.backend)
     hi = hit_info(scene, textures, ro, rd, t, ty, idx)
     is_light = ty == TYPE_POINT_LIGHT
     hit = jnp.isfinite(t) & (ty >= 0) & ~is_light
@@ -271,7 +275,7 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         absorb_dist = st["absorb_dist"]
         bounces = st["bounces"]
 
-        t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside)
+        t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside, cfg.backend)
         hit = jnp.isfinite(t)
         act = alive & hit
 
