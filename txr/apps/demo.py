@@ -32,7 +32,9 @@ from txr.render.trace import RenderConfig
 from txr.render.render import render_jit
 
 SATURN_RADIUS = 4150.0
-SATURN_PITCH = quat.from_euler(jnp.array([math.radians(15.0), 0.0, 0.0]))
+# numpy (host) quat: scene construction must never touch the device —
+# a single d2h transfer degrades every later dispatch on tunneled TPUs
+SATURN_PITCH = quat.from_euler(np.array([math.radians(15.0), 0.0, 0.0]))
 
 
 # -- procedural textures ---------------------------------------------------
@@ -134,36 +136,36 @@ def build_scene(width=1280, height=720):
     # planets (main.cpp:64-85)
     jupiter = b.add_sphere((0, 0, 0), 5000, b.material((0, 0, 0)), texture=1)
     saturn = b.add_sphere((0, 0, 0), SATURN_RADIUS, b.material((0, 0, 0)), texture=2,
-                          quat=tuple(np.array(SATURN_PITCH)))
+                          quat=tuple(SATURN_PITCH))
     mars = b.add_sphere((0, 0, 0), 500, b.material((0, 0, 0)), texture=3)
 
     # saturn ring (main.cpp:88-95)
-    ring_q = quat.mul(quat.from_axis_angle(jnp.array([1.0, 0, 0]), math.radians(90.0)), SATURN_PITCH)
+    ring_q = quat.mul(quat.from_axis_angle(np.array([1.0, 0, 0]), math.radians(90.0)), SATURN_PITCH)
     rings = b.add_ring((0, 0, 0), SATURN_RADIUS * 1.1166, SATURN_RADIUS * 2.35,
-                       b.material((0, 0, 0)), texture=4, quat=tuple(np.array(ring_q)))
+                       b.material((0, 0, 0)), texture=4, quat=tuple(ring_q))
 
     # floor + crate (main.cpp:98-105)
     b.add_box((0, -1.2, 6), (10, 0.2, 5), b.material((1, 0.6, 0), specular=100, reflect=0.05))
     box = b.add_box((8, 1, 6), (1, 1, 1), b.material((0.8, 0.7, 0), specular=50), texture=5)
 
     # torus (main.cpp:110-114)
-    tq = quat.from_euler(jnp.array([math.radians(45.0), 0.0, 0.0]))
+    tq = quat.from_euler(np.array([math.radians(45.0), 0.0, 0.0]))
     torus = b.add_torus((-9, 0.5, 6), (1.0, 0.5),
                         b.material((0.5, 0.4, 1), specular=200, reflect=0.2),
-                        quat=tuple(np.array(tq)))
+                        quat=tuple(tq))
 
     # cone + cylinder quadrics (main.cpp:117-132)
-    rq = quat.from_euler(jnp.array([math.radians(90.0), 0.0, 0.0]))
+    rq = quat.from_euler(np.array([math.radians(90.0), 0.0, 0.0]))
     b.add_surface(
         sf.elliptic_cone(1 / 3.0, 1 / 3.0, 1.0),
         b.material((234 / 255, 17 / 255, 82 / 255), specular=200, reflect=0.2),
-        pos=(-5, 4, 6), quat=tuple(np.array(rq)),
+        pos=(-5, 4, 6), quat=tuple(rq),
         v_min=(-3.0e38, -1.0, -3.0e38), v_max=(3.0e38, 4.0, 3.0e38),
     )
     b.add_surface(
         sf.elliptic_cylinder(1 / 2.0, 1 / 2.0),
         b.material((200 / 255, 1.0, 0.0), specular=200, reflect=0.2),
-        pos=(5, 0, 6), quat=tuple(np.array(rq)),
+        pos=(5, 0, 6), quat=tuple(rq),
         v_min=(-3.0e38, -1.0, -3.0e38), v_max=(3.0e38, 1.0, 3.0e38),
     )
 
