@@ -1,0 +1,50 @@
+"""AA quality presets (reference SMAA presets → SSAA) and the debug
+visualization channels (reference DBG flag, rt.frag:151-153, 232-271)."""
+
+import numpy as np
+import pytest
+
+from txr.render.render import render_jit, render_debug
+from txr.render.trace import RenderConfig, AA_PRESETS
+from txr.scene.types import TYPE_SPHERE, TYPE_PLANE
+
+from tests.test_golden import config1_scene
+
+
+def test_aa_presets_monotone():
+    assert AA_PRESETS["low"] <= AA_PRESETS["medium"] <= AA_PRESETS["high"] <= AA_PRESETS["ultra"]
+    cfg = RenderConfig(width=8, height=8).with_aa_preset("ULTRA")
+    assert cfg.supersample == 4
+
+
+def test_aa_preset_reduces_edge_aliasing():
+    """SSAA must smooth silhouette edges: the high-preset render differs from
+    the 1-spp render mostly at edges and stays close in flat regions."""
+    scene, tex = config1_scene()
+    base = RenderConfig(width=48, height=32, refractive_glossy=False)
+    img1 = np.array(render_jit(scene, tex, base))
+    img2 = np.array(render_jit(scene, tex, base.with_aa_preset("medium")))
+    assert img1.shape == img2.shape
+    diff = np.abs(img1 - img2).max(-1)
+    # most pixels are interior and unchanged; a minority (edges) move
+    assert (diff < 1e-3).mean() > 0.5
+    assert diff.max() > 1e-3
+
+
+def test_render_debug_channels():
+    scene, tex = config1_scene()
+    cfg = RenderConfig(width=48, height=32, refractive_glossy=False)
+    dbg = render_debug(scene, tex, cfg)
+    t, ty, idx, n = np.array(dbg["t"]), np.array(dbg["type"]), np.array(dbg["index"]), np.array(dbg["normal"])
+    assert t.shape == (32, 48) and n.shape == (32, 48, 3)
+    hit = np.isfinite(t)
+    # scene has spheres + a plane; both must appear, misses are -1
+    assert (ty[hit] == TYPE_SPHERE).any() and (ty[hit] == TYPE_PLANE).any()
+    assert (ty[~hit] == -1).all() and (idx[~hit] == -1).all()
+    # normals unit-length where hit, zero where miss
+    norms = np.linalg.norm(n, axis=-1)
+    np.testing.assert_allclose(norms[hit], 1.0, atol=1e-4)
+    np.testing.assert_allclose(norms[~hit], 0.0, atol=0)
+    # plane normal points up
+    up = n[ty == TYPE_PLANE]
+    np.testing.assert_allclose(up[:, 1], 1.0, atol=1e-4)

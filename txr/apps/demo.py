@@ -241,6 +241,10 @@ def main(argv=None):
     p.add_argument("--dt", type=float, default=1 / 30)
     p.add_argument("--t0", type=float, default=60.0)
     p.add_argument("--supersample", type=int, default=1)
+    p.add_argument("--aa", choices=("off", "low", "medium", "high", "ultra"),
+                   default=None,
+                   help="quality preset (reference SMAA presets → SSAA factor);"
+                        " overrides --supersample")
     p.add_argument("--iterations", type=int, default=5)
     p.add_argument("--out", default="/tmp/txr_demo.png")
     args = p.parse_args(argv)
@@ -249,6 +253,8 @@ def main(argv=None):
     textures = demo_textures()
     cfg = RenderConfig(width=args.width, height=args.height,
                        iterations=args.iterations, supersample=args.supersample)
+    if args.aa:
+        cfg = cfg.with_aa_preset(args.aa)
 
     t = args.t0
     last = time.perf_counter()

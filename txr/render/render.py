@@ -45,6 +45,33 @@ def render(scene, textures, cfg: RenderConfig):
     return img
 
 
+def render_debug(scene, textures, cfg: RenderConfig):
+    """Primary-hit debug channels — the TPU analog of the reference's DBG
+    compile flag that paints intermediate shader values into FragColor
+    (rt.frag:151-153, 232-271, 897-901).
+
+    Returns a dict of [H, W, ...] arrays for the primary (bounce-0) hit:
+      t       — hit distance (+inf on miss)
+      type    — primitive type id (−1 on miss; txr.scene.types.TYPE_*)
+      index   — per-type primitive index of the winner
+      normal  — shading normal (zeros on miss)
+    """
+    from txr.render.intersect import nearest_hit
+    from txr.render.trace import hit_info
+
+    ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, 1)
+    t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside, cfg.backend)
+    hi = hit_info(scene, textures, ro, rd, t, ty, idx)
+    hit = jnp.isfinite(t)
+    sh = (cfg.height, cfg.width)
+    return dict(
+        t=t.reshape(sh),
+        type=jnp.where(hit, ty, -1).reshape(sh),
+        index=jnp.where(hit, idx, -1).reshape(sh),
+        normal=jnp.where(hit[..., None], hi["normal"], 0.0).reshape(sh + (3,)),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def render_jit(scene, textures, cfg: RenderConfig):
     """jit'd render — cfg is static, scene/textures are traced pytrees, so

@@ -89,6 +89,17 @@ class RenderConfig:
             return self.iterations + self.extra_refraction_steps
         return self.iterations
 
+    def with_aa_preset(self, preset: str) -> "RenderConfig":
+        """Quality presets mirroring the reference's SMAA_PRESET_{LOW,MEDIUM,
+        HIGH,ULTRA} (SMAA_Builder.h:9-12, SMAA.h:304-323), mapped to the SSAA
+        factor that replaces SMAA in the TPU design (SURVEY §2.2)."""
+        return dataclasses.replace(self, supersample=AA_PRESETS[preset.lower()])
+
+
+# SMAA preset → supersampling factor.  "low" = no AA (SMAA LOW barely
+# thresholds); "ultra" = 4×4 box filter, the strongest practical SSAA.
+AA_PRESETS = {"off": 1, "low": 1, "medium": 2, "high": 3, "ultra": 4}
+
 
 def hit_info(scene, textures, ro, rd, t, ty, idx):
     """get_hit_info (rt.frag:744-784): per-ray normal, material (with
