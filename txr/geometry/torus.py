@@ -15,7 +15,13 @@ at the (polished) root — stable and O(1) memory.  The fori_loop runs under
 ``stop_gradient`` so no iteration residuals are saved for the backward pass.
 
 Root-acceptance semantics match the reference exactly (rt.frag:478-486):
-|imag| ≤ 1e-3, real ≥ 0, and t < 100.
+|imag| ≤ 1e-3, real ≥ 0, and t < 100.  Before the acceptance test each DK
+root gets ``POLISH_C`` complex Newton steps: DK leaves grazing (near-double)
+roots with O(1e-3) |imag| noise that differs between XLA fusion layouts
+(batch shapes change FMA contraction), which flipped the |imag| ≤ 1e-3
+decision per layout; Newton contracts real roots' |imag| to ~ulp so the
+decision becomes layout-stable.  Truly complex roots keep |imag| ≫ 1e-3,
+so reference semantics are preserved.
 """
 
 from __future__ import annotations
@@ -28,6 +34,8 @@ from txr.geometry import quaternion as quat
 DK_ITERS = 60          # rt.frag:471
 DK_EPS = 1e-3          # rt.frag:463
 TORUS_T_MAX = 100.0    # rt.frag:486
+POLISH_C = 3           # complex Newton steps on each DK root pre-acceptance
+POLISH_R = 2           # differentiable real Newton steps on the winner
 INF = jnp.inf
 
 
@@ -135,6 +143,31 @@ def _dk_solve(ro, rd, R, r):
     return jnp.stack([c0, c1, c2, c3], axis=-2)
 
 
+def _polish_roots_c(roots, coeffs, steps=POLISH_C):
+    """Complex Newton polish of each quartic root (z -= f(z)/f'(z)).
+
+    roots: [..., 4, 2] (re, im); coeffs: 5-tuple of [...] real coefficients
+    (c4..c0).  Contracts converged real roots' |imag| to ~ulp so the
+    DK_EPS acceptance test is stable across XLA fusion layouts."""
+    c4, c3, c2, c1, c0 = (c[..., None] for c in coeffs)   # broadcast over the 4 roots
+    zr, zi = roots[..., 0], roots[..., 1]
+
+    def horner(ks, zr, zi):
+        ar = jnp.broadcast_to(ks[0], zr.shape)
+        ai = jnp.zeros_like(zr)
+        for k in ks[1:]:
+            ar, ai = ar * zr - ai * zi + k, ar * zi + ai * zr
+        return ar, ai
+
+    for _ in range(steps):
+        fr, fi = horner((c4, c3, c2, c1, c0), zr, zi)
+        gr, gi = horner((4.0 * c4, 3.0 * c3, 2.0 * c2, c1), zr, zi)
+        m = jnp.maximum(gr * gr + gi * gi, 1e-30)
+        zr = zr - (fr * gr + fi * gi) / m
+        zi = zi - (fi * gr - fr * gi) / m
+    return jnp.stack([zr, zi], axis=-1)
+
+
 def torus_t(ro, rd, pos, q, form):
     """Nearest positive real root of the torus quartic.
 
@@ -150,6 +183,8 @@ def torus_t(ro, rd, pos, q, form):
     # --- non-differentiable root find -------------------------------------
     sg = jax.lax.stop_gradient
     roots = _dk_solve(sg(rol), sg(rdl), sg(R), sg(r))   # [R,P,4,2]
+    coeffs_sg = _quartic_coeffs(sg(rol), sg(rdl), sg(R), sg(r))
+    roots = _polish_roots_c(roots, coeffs_sg)
     re = roots[..., 0]
     im = jnp.abs(roots[..., 1])
     bad = jnp.logical_or(im > DK_EPS, re < 0.0)          # rt.frag:481-484
@@ -161,7 +196,7 @@ def torus_t(ro, rd, pos, q, form):
     c4, c3, c2, c1, c0 = _quartic_coeffs(rol, rdl, R, r)
     t0 = sg(t0)
     ts = jnp.where(hit, t0, 0.0)
-    for _ in range(2):  # two Newton polishes: tight roots, same implicit grad
+    for _ in range(POLISH_R):  # Newton polishes: tight roots, same implicit grad
         f = (((c4 * ts + c3) * ts + c2) * ts + c1) * ts + c0
         fp = ((4.0 * c4 * ts + 3.0 * c3) * ts + 2.0 * c2) * ts + c1
         fp_safe = jnp.where(jnp.abs(fp) > 1e-6, fp, jnp.where(fp >= 0, 1e-6, -1e-6))

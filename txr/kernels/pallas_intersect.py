@@ -248,12 +248,28 @@ def _build_kernel(counts, one_side, n_slots):
                 return (c0r, c0i, c1r, c1i, c2r, c2i, c3r, c3i)
 
             st = jax.lax.fori_loop(0, 60, body, roots)
+
+            # complex Newton polish per root before acceptance (layout-stable
+            # |imag| — same as txr/geometry/torus.py::_polish_roots_c)
+            def cnewton(zr, zi):
+                for _ in range(3):
+                    fr, fi = c4_4, jnp.zeros_like(zr)
+                    for kc in (c4_3, c4_2, c4_1, c4_0):
+                        fr, fi = fr * zr - fi * zi + kc, fr * zi + fi * zr
+                    gr, gi = 4.0 * c4_4, jnp.zeros_like(zr)
+                    for kc in (3.0 * c4_3, 2.0 * c4_2, c4_1):
+                        gr, gi = gr * zr - gi * zi + kc, gr * zi + gi * zr
+                    m = jnp.maximum(gr * gr + gi * gi, 1e-30)
+                    zr = zr - (fr * gr + fi * gi) / m
+                    zi = zi - (fi * gr - fr * gi) / m
+                return zr, zi
+
             best = jnp.full_like(rox, 1e4)
             for k in range(4):
-                rr_, ri_ = st[2 * k], jnp.abs(st[2 * k + 1])
-                good = jnp.logical_and(ri_ <= 1e-3, rr_ >= 0.0)
+                rr_, ri_ = cnewton(st[2 * k], st[2 * k + 1])
+                good = jnp.logical_and(jnp.abs(ri_) <= 1e-3, rr_ >= 0.0)
                 best = jnp.minimum(best, jnp.where(good, rr_, 1e4))
-            # one Newton polish (same as the jnp path)
+            # real Newton polish on the winner (same as the jnp path)
             hit = jnp.logical_and(best > 0.0, best < 100.0)
             ts = jnp.where(hit, best, 0.0)
             for _ in range(2):  # two Newton polishes, same as the jnp path

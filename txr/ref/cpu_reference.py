@@ -357,15 +357,26 @@ def _i_torus(ro, rd, torus, tmin):
             err = max(err, abs(delta.real), abs(delta.imag))
         if err < 1e-3:
             break
+    def fpeval(z):
+        return ((4 * c4[0] * z + 3 * c4[1]) * z + 2 * c4[2]) * z + c4[3]
+
     best = 1e4
     for z in roots:
+        # complex Newton polish pre-acceptance, same as the device path
+        # (txr/geometry/torus.py::_polish_roots_c)
+        for _ in range(3):
+            fp = fpeval(z)
+            if abs(fp) ** 2 < 1e-30:
+                break
+            z = z - feval(z) / fp
         if abs(z.imag) <= 1e-3 and z.real >= 0:
             best = min(best, z.real)
-    # one Newton polish, same as the device path
+    # two real Newton polishes on the winner, same as the device path
     if 0 < best < 100:
-        fp = ((4 * c4[0] * best + 3 * c4[1]) * best + 2 * c4[2]) * best + c4[3]
-        if abs(fp) > 1e-6:
-            best = best - feval(best).real / fp
+        for _ in range(2):
+            fp = fpeval(best).real
+            if abs(fp) > 1e-6:
+                best = best - feval(best).real / fp
         return best if best < tmin else None
     return None
 
