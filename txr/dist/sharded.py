@@ -48,6 +48,11 @@ def render_sharded(scene, textures, cfg, mesh):
     spec = P(axes)          # flat ray axis sharded over every mesh axis
     nd = mesh.size
 
+    if cfg.texture_lod:
+        from txr.render.texture import with_mips
+
+        textures = with_mips(textures)  # replicated, built once per frame
+
     ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, cfg.supersample)
     n_rays = ro.shape[0]
     ro, pad = _pad_to(ro, nd)
@@ -117,6 +122,13 @@ def make_train_step(textures, cfg, mesh, optimizer, param_paths=None):
     def step(scene, opt_state, target):
         import optax
 
+        if cfg.texture_lod:
+            from txr.render.texture import with_mips
+
+            tex = with_mips(textures)
+        else:
+            tex = textures
+
         params, frozen = split(scene)
         ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, cfg.supersample)
         target_flat = target.reshape(-1, 3)
@@ -133,7 +145,7 @@ def make_train_step(textures, cfg, mesh, optimizer, param_paths=None):
         def grad_tile(params, frozen, ro, rd, tgt, valid):
             def local_loss(params):
                 sc = rebuild(scene, params, frozen)
-                c = trace(sc, textures, cfg, ro, rd)
+                c = trace(sc, tex, cfg, ro, rd)
                 return jnp.sum(valid[:, None] * (c - tgt) ** 2)
 
             l, g = jax.value_and_grad(local_loss)(params)

@@ -3,25 +3,29 @@
 The reference solves the torus quartic per ray with a 60-iteration
 Durand–Kerner (Weierstrass) fixed-point in GLSL complex arithmetic
 (/root/reference/assets/shaders/rt.frag:438-497) and flags it as the
-render-time hotspot (main.cpp:107-108).  Here the same simultaneous-root
-iteration runs over the whole ``[R, P]`` ray×torus batch at once on the VPU,
-with complex numbers as (re, im) pairs (TPU-friendly; no complex dtype).
+render-time hotspot (main.cpp:107-108).  DK is a GPU implementation detail;
+the *semantics* are the root-acceptance rule (rt.frag:478-486): roots with
+|imag| ≤ 1e-3 (near-double grazing pairs count as hits), real ≥ 0, t < 100.
 
-Differentiation does NOT unroll the 60 iterations: the solver output is
-detached and one Newton step on the quartic is applied in differentiable
-form, so reverse-mode AD sees only the implicit-function gradient
+The TPU device path solves the quartic in CLOSED FORM (Ferrari: resolvent
+cubic by trig/Cardano + two quadratics) + Newton polish — ~100 flops and
+zero loops vs DK's 60 × 4-root complex iterations, which as a
+``fori_loop`` over [R, P, 4, 2] HBM-resident arrays was the measured
+hot-spot of the whole renderer.  The |imag| ≤ 1e-3 acceptance maps to the
+quadratics' discriminant: a complex pair y = −B/2 ± i·√(−D)/2 has
+|imag| ≤ 1e-3 ⇔ D ≥ −4e-6, in which case the real part is taken as the
+root, exactly like the reference's rule.  The float64 oracle keeps the
+reference's literal DK iteration, so the two implementations stay
+arms-length (tests/test_torus_solver.py compares them).
+
+Differentiation does NOT go through the solver: its output is detached and
+POLISH_R Newton steps on the quartic are applied in differentiable form, so
+reverse-mode AD sees only the implicit-function gradient
   dt/dθ = −(∂f/∂θ) / (∂f/∂t)
-at the (polished) root — stable and O(1) memory.  The fori_loop runs under
-``stop_gradient`` so no iteration residuals are saved for the backward pass.
+at the (polished) root — stable and O(1) memory.
 
-Root-acceptance semantics match the reference exactly (rt.frag:478-486):
-|imag| ≤ 1e-3, real ≥ 0, and t < 100.  Before the acceptance test each DK
-root gets ``POLISH_C`` complex Newton steps: DK leaves grazing (near-double)
-roots with O(1e-3) |imag| noise that differs between XLA fusion layouts
-(batch shapes change FMA contraction), which flipped the |imag| ≤ 1e-3
-decision per layout; Newton contracts real roots' |imag| to ~ulp so the
-decision becomes layout-stable.  Truly complex roots keep |imag| ≫ 1e-3,
-so reference semantics are preserved.
+``_dk_solve`` (+ complex-Newton polish) is retained for cross-checking the
+closed form (and for layout-stability history, see tests/test_ring.py).
 """
 
 from __future__ import annotations
@@ -168,39 +172,186 @@ def _polish_roots_c(roots, coeffs, steps=POLISH_C):
     return jnp.stack([zr, zi], axis=-1)
 
 
+def _cbrt_mag(x):
+    """|x|^(1/3) via exp/log (Mosaic-lowerable; no pow with non-integer
+    exponent inside Pallas kernels)."""
+    ax = jnp.maximum(jnp.abs(x), 1e-30)
+    return jnp.exp(jnp.log(ax) * (1.0 / 3.0))
+
+
+RESOLVENT_NEWTON_ITERS = 20
+
+
+def _resolvent_root(p, qq, r):
+    """Largest real root m of the Ferrari resolvent
+    m³ + p·m² + ((p²−4r)/4)·m − q²/8 = 0.
+
+    The cubic is ≤ 0 at m=0 (−q²/8) and → +∞, so its largest real root is
+    ≥ 0 — exactly the m the two-quadratic split needs.  Solved by unrolled
+    Newton from the Lagrange upper bound 2·max(|A2|, √|A1|, ∛|A0|): above
+    the largest root the cubic is positive, increasing, and convex, so
+    Newton descends monotonically onto it (quadratically for simple roots,
+    linearly for the q→0 double root — the residual-based split choice
+    downstream absorbs that case).  Branch-free and acos-free, so the same
+    code lowers inside the Pallas TPU kernel (Mosaic has no acos/cos) and in
+    plain XLA.
+    """
+    A2 = p
+    A1 = 0.25 * (p * p - 4.0 * r)
+    A0 = -0.125 * qq * qq
+    m = 2.0 * jnp.maximum(
+        jnp.abs(A2),
+        jnp.maximum(jnp.sqrt(jnp.abs(A1)), _cbrt_mag(A0)),
+    ) + 1e-6
+    for _ in range(RESOLVENT_NEWTON_ITERS):
+        f = ((m + A2) * m + A1) * m + A0
+        fp = (3.0 * m + 2.0 * A2) * m + A1
+        ok = jnp.abs(fp) > 1e-20
+        m = m - jnp.where(ok, f / jnp.where(ok, fp, 1.0), 0.0)
+    return jnp.maximum(m, 0.0)
+
+
+def ferrari_roots_tuple(c4, c3, c2, c1, c0):
+    """All four quartic roots as ((re, im_sq) × 4) elementwise tuples.
+
+    im_sq is the squared imaginary magnitude (0 for real roots); complex
+    pairs report their real part in re — matching the reference's DK output
+    that the |imag| ≤ DK_EPS acceptance inspects.  Pure elementwise jnp
+    (rank-preserving), so the Pallas kernel calls it directly on [1, T]
+    lane tiles."""
+    inv4 = 1.0 / jnp.where(jnp.abs(c4) > 1e-20, c4, 1e-20)
+    a = c3 * inv4
+    b = c2 * inv4
+    c = c1 * inv4
+    d = c0 * inv4
+    # depressed quartic y⁴ + p y² + q y + r, t = y − a/4
+    a2 = a * a
+    p = b - 0.375 * a2
+    qq = c - 0.5 * a * b + 0.125 * a2 * a
+    r = d - 0.25 * a * c + 0.0625 * a2 * b - (3.0 / 256.0) * a2 * a2
+
+    m = _resolvent_root(p, qq, r)
+    s = jnp.sqrt(jnp.maximum(2.0 * m, 0.0))
+
+    # general split: y² ∓ s·y + (p/2 + m ± q/(2s)) = 0
+    qs = qq / jnp.maximum(2.0 * s, 1e-12)
+    gB1, gC1 = -s, 0.5 * p + m + qs
+    gB2, gC2 = s, 0.5 * p + m - qs
+    # biquadratic split (exact when q = 0): y² = z±,  z² + p z + r = 0
+    db = jnp.sqrt(jnp.maximum(0.25 * p * p - r, 0.0))
+    bB1, bC1 = jnp.zeros_like(p), 0.5 * p + db
+    bB2, bC2 = jnp.zeros_like(p), 0.5 * p - db
+
+    # pick the split whose factorization reproduces the depressed quartic
+    # better: (y²+B1y+C1)(y²+B2y+C2) vs y⁴ + p y² + q y + r.  An axis-
+    # symmetric ray gives q = 0 but f32 noise in the resolvent makes m ≈ 1e-4
+    # instead of 0, which silently invalidates the general split — the
+    # residual test catches that where a threshold on s cannot.
+    def split_err(B1, C1, B2, C2):
+        return (
+            jnp.abs(C1 + C2 + B1 * B2 - p)
+            + jnp.abs(B1 * C2 + B2 * C1 - qq)
+            + jnp.abs(C1 * C2 - r) / (1.0 + jnp.abs(p))
+        )
+
+    use_biquad = split_err(bB1, bC1, bB2, bC2) < split_err(gB1, gC1, gB2, gC2)
+    B1 = jnp.where(use_biquad, bB1, gB1)
+    C1 = jnp.where(use_biquad, bC1, gC1)
+    B2 = jnp.where(use_biquad, bB2, gB2)
+    C2 = jnp.where(use_biquad, bC2, gC2)
+
+    def quad(B, C):
+        D = B * B - 4.0 * C
+        sqD = jnp.sqrt(jnp.maximum(D, 0.0))
+        re1 = 0.5 * (-B - sqD)
+        re2 = 0.5 * (-B + sqD)
+        # complex pair: re = −B/2 (both), im² = −D/4
+        rec = -0.5 * B
+        im_sq = jnp.maximum(-D, 0.0) * 0.25
+        cplx = D < 0.0
+        return (
+            jnp.where(cplx, rec, re1), jnp.where(cplx, im_sq, 0.0),
+            jnp.where(cplx, rec, re2), jnp.where(cplx, im_sq, 0.0),
+        )
+
+    r1, i1, r2, i2 = quad(B1, C1)
+    r3, i3, r4, i4 = quad(B2, C2)
+    off = 0.25 * a
+    return ((r1 - off, i1), (r2 - off, i2), (r3 - off, i3), (r4 - off, i4))
+
+
+def _ferrari_roots(c4, c3, c2, c1, c0):
+    """Stacked variant: (re [..., 4], im_sq [..., 4])."""
+    pairs = ferrari_roots_tuple(c4, c3, c2, c1, c0)
+    return (
+        jnp.stack([p[0] for p in pairs], axis=-1),
+        jnp.stack([p[1] for p in pairs], axis=-1),
+    )
+
+
+def _newton_refine(ts, coeffs, steps):
+    """Newton steps on the quartic; a step is SKIPPED where |f'| ≤ 1e-6
+    (tangent root — a guarded division there would take a catastrophic
+    jump).  Matches the oracle's polish exactly."""
+    c4, c3, c2, c1, c0 = coeffs
+    for _ in range(steps):
+        f = (((c4 * ts + c3) * ts + c2) * ts + c1) * ts + c0
+        fp = ((4.0 * c4 * ts + 3.0 * c3) * ts + 2.0 * c2) * ts + c1
+        ok = jnp.abs(fp) > 1e-6
+        ts = ts - jnp.where(ok, f / jnp.where(ok, fp, 1.0), 0.0)
+    return ts
+
+
 def torus_t(ro, rd, pos, q, form):
     """Nearest positive real root of the torus quartic.
 
     ro, rd: [R,3]; pos: [P,3]; q: [P,4]; form: [P,2] (R, r)  →  t: [R,P]
-    (+inf on miss).  Forward value = DK root + one Newton polish; backward =
-    implicit-function gradient through the polish step only.
+    (+inf on miss).  Forward value = Ferrari closed-form root + Newton
+    polish; backward = implicit-function gradient through the polish only.
     """
     rol = quat.rotate(q, ro[..., None, :] - pos)   # [R,P,3]
     rdl = quat.rotate(q, rd[..., None, :])
     R = jnp.broadcast_to(form[..., 0], rol.shape[:-1])
     r = jnp.broadcast_to(form[..., 1], rol.shape[:-1])
 
-    # --- non-differentiable root find -------------------------------------
+    # --- non-differentiable root find (closed form) ------------------------
     sg = jax.lax.stop_gradient
-    roots = _dk_solve(sg(rol), sg(rdl), sg(R), sg(r))   # [R,P,4,2]
     coeffs_sg = _quartic_coeffs(sg(rol), sg(rdl), sg(R), sg(r))
-    roots = _polish_roots_c(roots, coeffs_sg)
-    re = roots[..., 0]
-    im = jnp.abs(roots[..., 1])
-    bad = jnp.logical_or(im > DK_EPS, re < 0.0)          # rt.frag:481-484
+    re, im_sq = _ferrari_roots(*coeffs_sg)
+    # Newton against the true quartic tightens f32 cancellation error in the
+    # closed form — only for REAL roots: at a complex pair's real part the
+    # derivative vanishes and f > 0, so a Newton step there shoots far away
+    re_ref = _newton_refine(re, tuple(c[..., None] for c in coeffs_sg), 2)
+    re = jnp.where(im_sq > 0.0, re, re_ref)
+    bad = jnp.logical_or(im_sq > DK_EPS * DK_EPS, re < 0.0)  # rt.frag:481-484
     rs = jnp.where(bad, 1e4, re)
     t0 = jnp.min(rs, axis=-1)                            # [R,P]
     hit = jnp.logical_and(t0 > 0.0, t0 < TORUS_T_MAX)    # rt.frag:486
 
     # --- differentiable Newton polish (implicit function theorem) ---------
-    c4, c3, c2, c1, c0 = _quartic_coeffs(rol, rdl, R, r)
+    coeffs = _quartic_coeffs(rol, rdl, R, r)
     t0 = sg(t0)
-    ts = jnp.where(hit, t0, 0.0)
-    for _ in range(POLISH_R):  # Newton polishes: tight roots, same implicit grad
-        f = (((c4 * ts + c3) * ts + c2) * ts + c1) * ts + c0
-        fp = ((4.0 * c4 * ts + 3.0 * c3) * ts + 2.0 * c2) * ts + c1
-        fp_safe = jnp.where(jnp.abs(fp) > 1e-6, fp, jnp.where(fp >= 0, 1e-6, -1e-6))
-        ts = ts - f / fp_safe
+    ts = _newton_refine(jnp.where(hit, t0, 0.0), coeffs, POLISH_R)
+    return jnp.where(hit, ts, INF)
+
+
+def torus_polish_t(ro, rd, pos, q, form, t0):
+    """Differentiable winner-recompute for an already-found torus root.
+
+    ro, rd, pos, q, form: per-ray gathered single-primitive params [R,...];
+    t0: detached root from the sweep (jnp all_t or the Pallas kernel), +inf
+    on miss.  Applies the POLISH_R Newton steps in differentiable form so
+    reverse-mode AD sees only the implicit-function gradient — no DK solve
+    (the sweep already did it), so the backward-visible path is O(R) with no
+    60-iteration loop."""
+    rol = quat.rotate(q, ro - pos)
+    rdl = quat.rotate(q, rd)
+    R = form[..., 0]
+    r = form[..., 1]
+    coeffs = _quartic_coeffs(rol, rdl, R, r)
+    hit = jnp.isfinite(t0)
+    ts = _newton_refine(jnp.where(hit, jax.lax.stop_gradient(t0), 0.0),
+                        coeffs, POLISH_R)
     return jnp.where(hit, ts, INF)
 
 

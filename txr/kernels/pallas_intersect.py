@@ -13,9 +13,11 @@ intersect.py) runs it under stop_gradient and recomputes the winning
 primitive's t differentiably per ray, so autodiff never needs to see the
 sweep.
 
-Math is the component-wise transcription of txr/geometry/intersect.py &
-torus.py (same semantics, same epsilons — the unit/golden tests compare the
-two backends directly).
+Math is the component-wise transcription of txr/geometry/intersect.py (same
+semantics, same epsilons — the unit/golden tests compare the two backends
+directly); the torus quartic shares torus.py's closed-form Ferrari solver
+verbatim (it is rank-preserving elementwise jnp, so it runs on the [1, T]
+lane tiles unchanged).
 """
 
 from __future__ import annotations
@@ -27,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from txr.geometry.torus import ferrari_roots_tuple, _newton_refine
 
 TILE = 2048          # rays per kernel instance (16 lanes × 128)
 BIG = 1.0e30
@@ -115,8 +119,8 @@ def _build_kernel(counts, one_side, n_slots):
 
         # -- spheres (rt.frag:342-354) --------------------------------------
         for i in range(counts["spheres"]):
-            cx, cy, cz, rad = spos[i, 0], spos[i, 1], spos[i, 2], srad[i]
-            hol = shol[i]
+            cx, cy, cz, rad = spos[i, 0], spos[i, 1], spos[i, 2], srad[i, 0]
+            hol = shol[i, 0]
             ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
             b = ocx * rdx + ocy * rdy + ocz * rdz
             c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
@@ -190,7 +194,9 @@ def _build_kernel(counts, one_side, n_slots):
             tmin, slot = accept(tmin, slot, tN, hit, s)
             s += 1
 
-        # -- toruses (rt.frag:438-487, Durand-Kerner) -----------------------
+        # -- toruses (Ferrari closed-form quartic; txr/geometry/torus.py) ----
+        # Same acceptance semantics as the reference's DK (rt.frag:478-486):
+        # near-double complex pairs with |imag| ≤ 1e-3 count as hits.
         for i in range(counts["toruses"]):
             q = (tquat[i, 0], tquat[i, 1], tquat[i, 2], tquat[i, 3])
             ox, oy, oz = _rot(q, (rox - tpos[i, 0], roy - tpos[i, 1], roz - tpos[i, 2]))
@@ -204,79 +210,20 @@ def _build_kernel(counts, one_side, n_slots):
             a2 = dx * dx + dy * dy
             b2 = 2.0 * (ox * dx + oy * dy)
             c2 = ox * ox + oy * oy
-            c4_4 = A * A
-            c4_3 = 2.0 * A * Bq
-            c4_2 = Bq * Bq + 2.0 * A * Cq - 4.0 * R2 * a2
-            c4_1 = 2.0 * Bq * Cq - 4.0 * R2 * b2
-            c4_0 = Cq * Cq - 4.0 * R2 * c2
-
-            def cmul(ar, ai, br, bi):
-                return ar * br - ai * bi, ar * bi + ai * br
-
-            def feval(zr, zi):
-                # (A z² + B z + C)² − 4R²(a2 z² + b2 z + c2)
-                z2r, z2i = zr * zr - zi * zi, 2.0 * zr * zi
-                pr = A * z2r + Bq * zr + Cq
-                pi = A * z2i + Bq * zi
-                sr, si = cmul(pr, pi, pr, pi)
-                qr = 4.0 * R2 * (a2 * z2r + b2 * zr + c2)
-                qi = 4.0 * R2 * (a2 * z2i + b2 * zi)
-                return sr - qr, si - qi
-
-            def dkstep(cr, ci, ar, ai, br, bi, gr, gi):
-                fr, fi = feval(cr, ci)
-                d1r, d1i = cr - ar, ci - ai
-                d2r, d2i = cr - br, ci - bi
-                d3r, d3i = cr - gr, ci - gi
-                er, ei = cmul(d1r, d1i, *cmul(d2r, d2i, d3r, d3i))
-                mag = jnp.maximum(er * er + ei * ei, 1e-30)
-                qr_, qi_ = cmul(fr, fi, er / mag, -ei / mag)
-                return cr - qr_, ci - qi_
-
-            z = jnp.zeros_like(rox)
-            roots = (z + 1.0, z, z + 0.4, z + 0.9,
-                     z + (0.4 * 0.4 - 0.9 * 0.9), z + (2 * 0.4 * 0.9))
-            r3r, r3i = cmul(roots[4], roots[5], z + 0.4, z + 0.9)
-            roots = roots + (r3r, r3i)
-
-            def body(_, st):
-                c0r, c0i, c1r, c1i, c2r, c2i, c3r, c3i = st
-                c0r, c0i = dkstep(c0r, c0i, c1r, c1i, c2r, c2i, c3r, c3i)
-                c1r, c1i = dkstep(c1r, c1i, c2r, c2i, c3r, c3i, c0r, c0i)
-                c2r, c2i = dkstep(c2r, c2i, c3r, c3i, c0r, c0i, c1r, c1i)
-                c3r, c3i = dkstep(c3r, c3i, c0r, c0i, c1r, c1i, c2r, c2i)
-                return (c0r, c0i, c1r, c1i, c2r, c2i, c3r, c3i)
-
-            st = jax.lax.fori_loop(0, 60, body, roots)
-
-            # complex Newton polish per root before acceptance (layout-stable
-            # |imag| — same as txr/geometry/torus.py::_polish_roots_c)
-            def cnewton(zr, zi):
-                for _ in range(3):
-                    fr, fi = c4_4, jnp.zeros_like(zr)
-                    for kc in (c4_3, c4_2, c4_1, c4_0):
-                        fr, fi = fr * zr - fi * zi + kc, fr * zi + fi * zr
-                    gr, gi = 4.0 * c4_4, jnp.zeros_like(zr)
-                    for kc in (3.0 * c4_3, 2.0 * c4_2, c4_1):
-                        gr, gi = gr * zr - gi * zi + kc, gr * zi + gi * zr
-                    m = jnp.maximum(gr * gr + gi * gi, 1e-30)
-                    zr = zr - (fr * gr + fi * gi) / m
-                    zi = zi - (fi * gr - fr * gi) / m
-                return zr, zi
-
+            coeffs = (
+                A * A,
+                2.0 * A * Bq,
+                Bq * Bq + 2.0 * A * Cq - 4.0 * R2 * a2,
+                2.0 * Bq * Cq - 4.0 * R2 * b2,
+                Cq * Cq - 4.0 * R2 * c2,
+            )
             best = jnp.full_like(rox, 1e4)
-            for k in range(4):
-                rr_, ri_ = cnewton(st[2 * k], st[2 * k + 1])
-                good = jnp.logical_and(jnp.abs(ri_) <= 1e-3, rr_ >= 0.0)
+            for rr_, ri2_ in ferrari_roots_tuple(*coeffs):
+                rr_ = jnp.where(ri2_ > 0.0, rr_, _newton_refine(rr_, coeffs, 2))
+                good = jnp.logical_and(ri2_ <= 1e-6, rr_ >= 0.0)
                 best = jnp.minimum(best, jnp.where(good, rr_, 1e4))
-            # real Newton polish on the winner (same as the jnp path)
             hit = jnp.logical_and(best > 0.0, best < 100.0)
-            ts = jnp.where(hit, best, 0.0)
-            for _ in range(2):  # two Newton polishes, same as the jnp path
-                fv = (((c4_4 * ts + c4_3) * ts + c4_2) * ts + c4_1) * ts + c4_0
-                fp = ((4.0 * c4_4 * ts + 3.0 * c4_3) * ts + 2.0 * c4_2) * ts + c4_1
-                fp = jnp.where(jnp.abs(fp) > 1e-6, fp, jnp.where(fp >= 0, 1e-6, -1e-6))
-                ts = ts - fv / fp
+            ts = _newton_refine(jnp.where(hit, best, 0.0), coeffs, 2)
             tmin, slot = accept(tmin, slot, ts, hit, s)
             s += 1
 
@@ -290,13 +237,13 @@ def _build_kernel(counts, one_side, n_slots):
             x = ox + dx * t
             y = oy + dy * t
             p = x * x + y * y
-            hit = (t > 0.0) & (p < rr2[i]) & (p > rr1[i]) & nzero
+            hit = (t > 0.0) & (p < rr2[i, 0]) & (p > rr1[i, 0]) & nzero
             tmin, slot = accept(tmin, slot, t, hit, s)
             s += 1
 
         # -- point-light bulbs (rt.frag:621-625) ----------------------------
         for i in range(counts["lights_point"]):
-            cx, cy, cz, rad = lpos[i, 0], lpos[i, 1], lpos[i, 2], lrad[i]
+            cx, cy, cz, rad = lpos[i, 0], lpos[i, 1], lpos[i, 2], lrad[i, 0]
             ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
             b = ocx * rdx + ocy * rdy + ocz * rdz
             c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad

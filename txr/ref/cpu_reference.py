@@ -9,7 +9,10 @@ txr.render must be allclose to this oracle (BASELINE configs 1-3).
 
 Shared semantic decisions (where the GLSL is undefined or GPU-specific),
 identical in both implementations by design:
-  * texture LOD: bilinear at level 0, REPEAT wrap (no fwidth mip selection)
+  * texture LOD: ray-footprint mip selection (t·pixel_angle/cosθ texel
+    footprint → trilinear over a 2×2-box-filtered pyramid), replacing the
+    reference's fwidth→textureLod (rt.frag:319-340); REPEAT wrap; formulas
+    mirror txr/render/texture.py exactly.  cfg.texture_lod=False → level 0.
   * degenerate quadric directions (|p2| < 1e-6): miss (the reference's
     ``t > tmin`` comparison at rt.frag:544 is a bug on a measure-zero set)
   * missed reflected ray in getReflectedColor: black (GLSL reads an
@@ -150,6 +153,14 @@ class OracleScene:
         self.tex_box = None if textures.box is None else np.asarray(textures.box, np.float64)
         self.cubemap = None if textures.cubemap is None else np.asarray(textures.cubemap, np.float64)
         self.cfg = cfg
+        # mip pyramids + sample cone angle (texture.py LOD policy mirror)
+        if cfg.texture_lod:
+            self.mips_sphere = [_build_mips(t) for t in self.tex_sphere]
+            self.mips_ring = None if self.tex_ring is None else _build_mips(self.tex_ring)
+            self.mips_box = None if self.tex_box is None else _build_mips(self.tex_box)
+            self.pix_angle = 1.0 / (cfg.height * cfg.supersample)
+        else:
+            self.pix_angle = None
 
 
 # -- texture sampling ------------------------------------------------------
@@ -172,6 +183,57 @@ def _bilinear(tex, u, v, wrap="repeat"):
     c10 = tex[wy(y0 + 1), wx(x0)]
     c11 = tex[wy(y0 + 1), wx(x0 + 1)]
     return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+
+_MIP_MIN_SIZE = 4      # texture.py MIP_MIN_SIZE
+_LOD_COS_MIN = 0.125   # texture.py LOD_COS_MIN
+
+
+def _build_mips(tex):
+    """2×2 box-filtered pyramid, same stopping rule as build_mip_atlas."""
+    levels = [tex]
+    while True:
+        t = levels[-1]
+        H, W = t.shape[0], t.shape[1]
+        if H % 2 or W % 2 or H // 2 < _MIP_MIN_SIZE or W // 2 < _MIP_MIN_SIZE:
+            break
+        levels.append(t.reshape(H // 2, 2, W // 2, 2, t.shape[-1]).mean(axis=(1, 3)))
+    return levels
+
+
+def _trilinear(levels, u, v, lod):
+    L = len(levels)
+    lod = min(max(float(lod), 0.0), float(L - 1))
+    l0 = int(np.floor(lod))
+    l1 = min(l0 + 1, L - 1)
+    f = lod - l0
+    return _bilinear(levels[l0], u, v) * (1.0 - f) + _bilinear(levels[l1], u, v) * f
+
+
+def _footprint_world(t, cos_in, pix_angle):
+    return t * pix_angle / max(cos_in, _LOD_COS_MIN)
+
+
+def _lod_from_texels(texels):
+    return np.log2(max(texels, 1.0))
+
+
+def _lod_sphere(fw, radius, shape0):
+    H, W = shape0
+    tpw = max(W / (2.0 * PI), H / PI) / max(radius, 1e-6)
+    return _lod_from_texels(fw * tpw)
+
+
+def _lod_box(fw, shape0):
+    H, W = shape0
+    return _lod_from_texels(fw * (0.5 * max(H, W)))
+
+
+def _lod_ring(fw, r1_sq, r2_sq, shape0):
+    H, W = shape0
+    rm = np.sqrt(max(0.5 * (r1_sq + r2_sq), 1e-12))
+    tpw = max(W * 2.0 * rm / max(r2_sq - r1_sq, 1e-12), H / (PI * rm))
+    return _lod_from_texels(fw * tpw)
 
 
 def _cubemap_sample(cm, d):
@@ -362,8 +424,9 @@ def _i_torus(ro, rd, torus, tmin):
 
     best = 1e4
     for z in roots:
-        # complex Newton polish pre-acceptance, same as the device path
-        # (txr/geometry/torus.py::_polish_roots_c)
+        # complex Newton polish pre-acceptance: tightens DK roots so the
+        # |imag| acceptance is exact (the device path reaches the same
+        # decision through Ferrari's discriminant — torus.py module doc)
         for _ in range(3):
             fp = fpeval(z)
             if abs(fp) ** 2 < 1e-30:
@@ -506,6 +569,12 @@ def _fresnel_reflect_amount(n1, n2, rd, n, refl, do_fresnel):
 
 def _hit_info(S: OracleScene, ro, rd, pt, t, num, typ):
     alpha = 1.0
+
+    def fw_of(normal):
+        if S.pix_angle is None:
+            return None
+        return _footprint_world(t, abs(float(np.dot(rd, normal))), S.pix_angle)
+
     if typ == T_SPHERE:
         s = S.spheres[num]
         mat = dict(s["mat"])
@@ -514,7 +583,13 @@ def _hit_info(S: OracleScene, ro, rd, pt, t, num, typ):
             sn = _rot(s["quat"], normal)
             u = 0.5 + np.arctan2(sn[2], sn[0]) / (2 * PI)
             v = 0.5 - np.arcsin(np.clip(sn[1], -1, 1)) / PI
-            c = _bilinear(S.tex_sphere[s["tex"] - 1], u, v)
+            fw = fw_of(normal)
+            tex0 = S.tex_sphere[s["tex"] - 1]
+            if fw is None:
+                c = _bilinear(tex0, u, v)
+            else:
+                lod = _lod_sphere(fw, s["radius"], tex0.shape[:2])
+                c = _trilinear(S.mips_sphere[s["tex"] - 1], u, v, lod)
             mat["color"] = c[:3]
             alpha = c[3]
     elif typ == T_PLANE:
@@ -533,10 +608,16 @@ def _hit_info(S: OracleScene, ro, rd, pt, t, num, typ):
             pos = _rot(b["quat"], b["pos"])
             p = _rot(b["quat"], pt)
             nn = _rot(b["quat"], normal)
+            fw = fw_of(normal)
+            if fw is None:
+                fetch = lambda u, v: _bilinear(S.tex_box, u, v)
+            else:
+                lod = _lod_box(fw, S.tex_box.shape[:2])
+                fetch = lambda u, v: _trilinear(S.mips_box, u, v, lod)
             c = (
-                abs(nn[0]) * _bilinear(S.tex_box, 0.5 * (p[2] - pos[2]) - 0.5, 0.5 * (p[1] - pos[1]) - 0.5)
-                + abs(nn[1]) * _bilinear(S.tex_box, 0.5 * (p[2] - pos[2]) - 0.5, 0.5 * (p[0] - pos[0]) - 0.5)
-                + abs(nn[2]) * _bilinear(S.tex_box, 0.5 * (p[0] - pos[0]) - 0.5, 0.5 * (p[1] - pos[1]) - 0.5)
+                abs(nn[0]) * fetch(0.5 * (p[2] - pos[2]) - 0.5, 0.5 * (p[1] - pos[1]) - 0.5)
+                + abs(nn[1]) * fetch(0.5 * (p[2] - pos[2]) - 0.5, 0.5 * (p[0] - pos[0]) - 0.5)
+                + abs(nn[2]) * fetch(0.5 * (p[0] - pos[0]) - 0.5, 0.5 * (p[1] - pos[1]) - 0.5)
             )
             mat["color"] = c[:3]
     elif typ == T_TORUS:
@@ -549,7 +630,12 @@ def _hit_info(S: OracleScene, ro, rd, pt, t, num, typ):
         normal = _rot(_quat_inv(r["quat"]), np.array([0.0, 0.0, -1.0]))
         if r["tex"] > 0 and S.tex_ring is not None:
             u, v = _ring_uv(ro, rd, t, r)
-            c = _bilinear(S.tex_ring, u, v)
+            fw = fw_of(normal)
+            if fw is None:
+                c = _bilinear(S.tex_ring, u, v)
+            else:
+                lod = _lod_ring(fw, r["r1"], r["r2"], S.tex_ring.shape[:2])
+                c = _trilinear(S.mips_ring, u, v, lod)
             mat["color"] = c[:3]
             alpha = c[3]
     else:

@@ -94,7 +94,7 @@ def all_t(scene: Scene, ro, rd, one_side_planes=True):
     return jnp.concatenate(parts, axis=-1)
 
 
-def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True):
+def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True, t0=None):
     """Differentiable t for an already-chosen (type, index) winner per ray.
 
     Gathers the single winning primitive's parameters and re-runs its
@@ -102,6 +102,11 @@ def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True):
     primitive per ray.  The discrete (ty, idx) choice is piecewise constant
     in the scene parameters, so detaching it is exact away from silhouettes
     (the same argument as the argmin itself).
+
+    ``t0``: the sweep's detached winning t (+inf on miss).  The torus branch
+    needs it: instead of re-running the 60-iteration Durand–Kerner solve it
+    Newton-polishes from t0 (torus_polish_t) — same value, same implicit
+    gradient, no iteration loop in the backward-visible path.
     """
     c = scene.counts
     R = ty.shape
@@ -146,10 +151,16 @@ def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True):
     if c["toruses"]:
         to = scene.toruses
         i = jnp.clip(idx, 0, c["toruses"] - 1)
-        tv = one(
-            gi.torus_t(ro, rd, to.pos[i][..., None, :], to.quat[i][..., None, :],
-                       to.form[i][..., None, :])
-        )
+        if t0 is not None:
+            from txr.geometry.torus import torus_polish_t
+
+            tor_t0 = jnp.where(ty == TYPE_TORUS, t0, jnp.inf)
+            tv = torus_polish_t(ro, rd, to.pos[i], to.quat[i], to.form[i], tor_t0)
+        else:
+            tv = one(
+                gi.torus_t(ro, rd, to.pos[i][..., None, :], to.quat[i][..., None, :],
+                           to.form[i][..., None, :])
+            )
         t = jnp.where(ty == TYPE_TORUS, tv, t)
     if c["rings"]:
         r = scene.rings
@@ -201,7 +212,8 @@ def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="jnp"):
     hit = t0 < MAX_DIST
     ty = jnp.where(hit, type_tab[slot], -1)
     idx = idx_tab[slot]
-    t = t_of_winner(scene, ro, rd, ty, idx, one_side_planes)
+    t = t_of_winner(scene, ro, rd, ty, idx, one_side_planes,
+                    t0=jnp.where(hit, t0, jnp.inf))
     # forward value = the exact detached min; gradients come from the
     # winner recompute (identical value away from ties/silhouettes)
     t = t0 + jnp.where(jnp.isfinite(t), t - sg(t), 0.0)

@@ -14,11 +14,16 @@ import jax
 import jax.numpy as jnp
 
 from txr.render.raygen import primary_rays
+from txr.render.texture import with_mips
 from txr.render.trace import RenderConfig, trace
 
 
 def render(scene, textures, cfg: RenderConfig):
     """→ image [H, W, 3] float32, row 0 = top."""
+    if cfg.texture_lod:
+        # mip pyramids built once per frame inside jit (glGenerateMipmap
+        # analog); hoisted out of the chunk loop by construction
+        textures = with_mips(textures)
     ss = cfg.supersample
     ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, ss)
     if cfg.ray_chunk:

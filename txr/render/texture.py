@@ -4,11 +4,18 @@ Replaces the reference's GL sampler objects (6 sampler2Ds + 1 samplerCube,
 rt.frag:136-143) with gather-based bilinear lookups on HBM-resident arrays.
 
 LOD policy (design decision, SURVEY §2.2): the reference picks a mip level
-from ``fwidth`` of the UV (rt.frag:326-338), a screen-space derivative that
-has no analog for an arbitrary ray batch.  TXR samples bilinearly at full
-resolution (level 0) and delegates minification anti-aliasing to
-supersampling (txr/render/supersample.py), which also replaces SMAA.  The CPU
-oracle implements the identical policy, so forward renders agree exactly.
+from ``fwidth`` of the UV (rt.frag:326-338, textureLod) with mipmaps built
+at texture load (GLWrapper.cpp:319-354).  ``fwidth`` is a screen-space
+derivative with no analog for an arbitrary TPU ray batch, so TXR uses a
+**ray-footprint LOD**: the world-space width of a pixel's ray cone at the
+hit, ``t · pixel_angle / cos θ``, converted to texels with a per-mapping
+texels-per-world-unit factor (see ``lod_sphere``/``lod_box``/``lod_ring``),
+then trilinear-sampled from a 2×2-box-filtered mip pyramid.  The pyramid is
+packed into a single vertically-stacked atlas so the per-ray mip level can
+be fully dynamic (elementwise shifts + gathers — no per-level branching).
+The CPU oracle implements the identical policy, so forward renders agree.
+Cubemap environment lookups stay at level 0 (the reference's load_cubemap,
+GLWrapper.cpp:284-317, builds no mips either).
 
 Wrap mode is REPEAT on both axes, matching the reference's scene textures
 (GLWrapper::load_texture default wrap, GLWrapper.cpp:319-343; GL_REPEAT is
@@ -24,6 +31,9 @@ import jax.numpy as jnp
 
 _PI = 3.14159265358979  # PI_F, rt.frag:5
 
+MIP_MIN_SIZE = 4   # stop the pyramid when a side would shrink below this
+LOD_COS_MIN = 0.125  # grazing-angle footprint growth cap (~GL aniso limit)
+
 
 @dataclasses.dataclass
 class TextureSet:
@@ -36,17 +46,64 @@ class TextureSet:
     box:     [H,W,4] or None — sampled by any textured box (rt.frag:428-436).
     cubemap: [6,H,W,4] or None, face order (+x,-x,+y,-y,+z,-z) like the
              reference's load_cubemap face list (main.cpp:137-145).
+
+    sphere_mips/ring_mips/box_mips: derived mip atlases — ``(atlas, offs)``
+    pairs filled by :func:`with_mips` inside a render (never persisted); the
+    analog of glGenerateMipmap at load (GLWrapper.cpp:343).  Differentiable:
+    gradients flow through the 2×2 box filter back to the level-0 arrays.
     """
 
     sphere: tuple = ()
     ring: object = None
     box: object = None
     cubemap: object = None
+    sphere_mips: tuple = ()
+    ring_mips: object = None
+    box_mips: object = None
 
 
 jax.tree_util.register_dataclass(
-    TextureSet, data_fields=["sphere", "ring", "box", "cubemap"], meta_fields=[]
+    TextureSet,
+    data_fields=["sphere", "ring", "box", "cubemap",
+                 "sphere_mips", "ring_mips", "box_mips"],
+    meta_fields=[],
 )
+
+
+def build_mip_atlas(tex):
+    """Mip pyramid of ``tex`` [H,W,C], packed into one vertically-stacked
+    atlas.  Level l occupies rows [offs[l], offs[l] + H>>l) and columns
+    [0, W>>l).  Returns (atlas [ΣH_l, W, C], offs int32 [L]).  Levels are
+    2×2 box-filtered (the standard glGenerateMipmap filter); the pyramid
+    stops when a side would drop below MIP_MIN_SIZE or become odd."""
+    levels = [tex]
+    while True:
+        t = levels[-1]
+        H, W = t.shape[0], t.shape[1]
+        if H % 2 or W % 2 or H // 2 < MIP_MIN_SIZE or W // 2 < MIP_MIN_SIZE:
+            break
+        levels.append(t.reshape(H // 2, 2, W // 2, 2, t.shape[-1]).mean(axis=(1, 3)))
+    offs = []
+    off = 0
+    for t in levels:
+        offs.append(off)
+        off += t.shape[0]
+    atlas = jnp.zeros((off, tex.shape[1], tex.shape[-1]), tex.dtype)
+    for t, o in zip(levels, offs):
+        atlas = atlas.at[o : o + t.shape[0], : t.shape[1]].set(t)
+    return atlas, jnp.asarray(offs, jnp.int32)
+
+
+def with_mips(textures: TextureSet) -> TextureSet:
+    """TextureSet with mip atlases built for every 2D texture (idempotent)."""
+    if textures.sphere_mips or textures.ring_mips or textures.box_mips:
+        return textures
+    return dataclasses.replace(
+        textures,
+        sphere_mips=tuple(build_mip_atlas(t) for t in textures.sphere),
+        ring_mips=None if textures.ring is None else build_mip_atlas(textures.ring),
+        box_mips=None if textures.box is None else build_mip_atlas(textures.box),
+    )
 
 
 def as_rgba(img):
@@ -92,6 +149,90 @@ def sample_bilinear(tex, uv, wrap="repeat"):
     return top * (1.0 - fv) + bot * fv
 
 
+def _bilinear_at_level(atlas, offs, H0, W0, uv, level):
+    """Bilinear fetch at a per-ray dynamic mip ``level`` from a packed atlas
+    (REPEAT wrap within the level).  H0/W0 are the static level-0 dims."""
+    Hl = jnp.right_shift(jnp.int32(H0), level)
+    Wl = jnp.right_shift(jnp.int32(W0), level)
+    off = offs[level]
+    u = uv[..., 0] * Wl - 0.5
+    v = uv[..., 1] * Hl - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+    wu = lambda i: jnp.mod(i, Wl)
+    wv = lambda i: jnp.mod(i, Hl) + off
+    c00 = atlas[wv(v0), wu(u0)]
+    c01 = atlas[wv(v0), wu(u0 + 1)]
+    c10 = atlas[wv(v0 + 1), wu(u0)]
+    c11 = atlas[wv(v0 + 1), wu(u0 + 1)]
+    top = c00 * (1.0 - fu) + c01 * fu
+    bot = c10 * (1.0 - fu) + c11 * fu
+    return top * (1.0 - fv) + bot * fv
+
+
+def sample_trilinear(mips, shape0, uv, lod):
+    """Trilinear (bilinear × 2 levels + lerp) fetch: the TPU textureLod.
+
+    mips: (atlas, offs) from build_mip_atlas; shape0: static (H, W) of
+    level 0; lod: per-ray continuous level, clamped to the pyramid."""
+    atlas, offs = mips
+    L = offs.shape[0]
+    H0, W0 = shape0
+    lod = jnp.clip(lod, 0.0, float(L - 1))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, L - 1)
+    f = (lod - l0.astype(lod.dtype))[..., None]
+    c0 = _bilinear_at_level(atlas, offs, H0, W0, uv, l0)
+    c1 = _bilinear_at_level(atlas, offs, H0, W0, uv, l1)
+    return c0 * (1.0 - f) + c1 * f
+
+
+# -- ray-footprint LOD ------------------------------------------------------
+# footprint_world = t · pixel_angle / max(cos θ, LOD_COS_MIN)  (the width of
+# the pixel's ray cone where it meets the surface, stretched at grazing
+# incidence like GL's max-derivative rule); each mapping converts it to
+# texels with its own texels-per-world-unit factor; lod = log2(texels, ≥ 0).
+# Callers compute ``fw`` once per ray; samplers apply the per-texture factor
+# (textures in one set may have different resolutions).
+
+
+def _lod_from_texels(texels):
+    return jnp.log2(jnp.maximum(texels, 1.0))
+
+
+def footprint_world(t, cos_in, pix_angle):
+    return t * pix_angle / jnp.maximum(cos_in, LOD_COS_MIN)
+
+
+def lod_sphere(fw, radius, shape0):
+    """Spherical mapping: u spans 2π·r of surface per texture repeat, v spans
+    π·r  →  texels/world = max(W/2π, H/π)/r (equator-scale estimate)."""
+    H, W = shape0
+    tpw = max(W / (2.0 * _PI), H / _PI) / jnp.maximum(radius, 1e-6)
+    return _lod_from_texels(fw * tpw)
+
+
+def lod_box(fw, shape0):
+    """Triplanar mapping uv = 0.5·p → 0.5 uv-units per world unit."""
+    H, W = shape0
+    return _lod_from_texels(fw * (0.5 * max(H, W)))
+
+
+def lod_ring(fw, r1_sq, r2_sq, shape0):
+    """Annulus mapping u = (ρ² − r1²)/(r2² − r1²), v = cos θ: radial
+    texels/world = W·2ρ/(r2²−r1²) at the mid radius ρm; angular ≈ H/(π·ρm)."""
+    H, W = shape0
+    rm = jnp.sqrt(jnp.maximum(0.5 * (r1_sq + r2_sq), 1e-12))
+    tpw = jnp.maximum(
+        W * 2.0 * rm / jnp.maximum(r2_sq - r1_sq, 1e-12), H / (_PI * rm)
+    )
+    return _lod_from_texels(fw * tpw)
+
+
 def sphere_uv(normal):
     """Spherical UV from the (possibly rotated) unit normal
     (rt.frag:323-325): u = 0.5 + atan2(nz,nx)/2π, v = 0.5 − asin(ny)/π."""
@@ -100,20 +241,25 @@ def sphere_uv(normal):
     return jnp.stack([u, v], axis=-1)
 
 
-def sample_sphere_texture(textures: TextureSet, tex_num, normal):
-    """getSphereTexture (rt.frag:319-340) minus the fwidth LOD: rotate the
-    normal by the sphere quat (done by the caller), spherical UV, bilinear.
-    ``tex_num`` [R] selects among the static tuple; 0/out-of-range → white
-    opaque (callers gate on tex_num != 0)."""
+def sample_sphere_texture(textures: TextureSet, tex_num, normal, fw=None, radius=None):
+    """getSphereTexture (rt.frag:319-340): rotate the normal by the sphere
+    quat (done by the caller), spherical UV, then trilinear at the ray-
+    footprint LOD (the fwidth-mip replacement) when ``fw`` (footprint_world)
+    is given, else plain bilinear.  ``tex_num`` [R] selects among the static
+    tuple; 0/out-of-range → white opaque (callers gate on tex_num != 0)."""
     uv = sphere_uv(normal)
     out = jnp.ones(uv.shape[:-1] + (4,), jnp.float32)
     for i, tex in enumerate(textures.sphere):
-        c = sample_bilinear(tex, uv)
+        if fw is not None and textures.sphere_mips:
+            lod = lod_sphere(fw, radius, tex.shape[:2])
+            c = sample_trilinear(textures.sphere_mips[i], tex.shape[:2], uv, lod)
+        else:
+            c = sample_bilinear(tex, uv)
         out = jnp.where((tex_num == i + 1)[..., None], c, out)
     return out
 
 
-def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat):
+def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat, fw=None):
     """Triplanar projection weighted by |normal| in the box frame
     (getBoxTexture, rt.frag:428-436).  NOTE the reference rotates box.pos by
     the box quat (not pos-relative) — reproduced exactly."""
@@ -126,6 +272,9 @@ def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat):
 
     def face(axes):
         uv = 0.5 * (p[..., axes] - pos[..., axes]) - 0.5
+        if fw is not None and textures.box_mips is not None:
+            lod = lod_box(fw, tex.shape[:2])
+            return sample_trilinear(textures.box_mips, tex.shape[:2], uv, lod)
         return sample_bilinear(tex, uv)
 
     return (
@@ -135,8 +284,11 @@ def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat):
     )
 
 
-def sample_ring_texture(textures: TextureSet, uv):
+def sample_ring_texture(textures: TextureSet, uv, fw=None, r1_sq=None, r2_sq=None):
     """texture(texture_ring, uv) (rt.frag:395-397)."""
+    if fw is not None and textures.ring_mips is not None:
+        lod = lod_ring(fw, r1_sq, r2_sq, textures.ring.shape[:2])
+        return sample_trilinear(textures.ring_mips, textures.ring.shape[:2], uv, lod)
     return sample_bilinear(textures.ring, uv)
 
 

@@ -76,6 +76,11 @@ class RenderConfig:
     # arrays), trading ~2x forward FLOPs inside the backward for O(R) memory.
     # Essential at 1080p+ on a 16GB chip.
     remat: bool = True
+    # Mip/LOD texturing: build 2×2 box-filtered mip pyramids and sample
+    # trilinearly at the ray-footprint LOD (texture.py module doc) — the
+    # replacement for the reference's fwidth→textureLod path
+    # (rt.frag:319-340) and load-time glGenerateMipmap (GLWrapper.cpp:343).
+    texture_lod: bool = True
     # Static switch for the refractive-glossy extra pass
     # (getReflectedColor, rt.frag:787-802).  It costs a full nearest-hit +
     # shade per bounce, so scenes with no refractive+reflective material
@@ -101,7 +106,7 @@ class RenderConfig:
 AA_PRESETS = {"off": 1, "low": 1, "medium": 2, "high": 3, "ultra": 4}
 
 
-def hit_info(scene, textures, ro, rd, t, ty, idx):
+def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
     """get_hit_info (rt.frag:744-784): per-ray normal, material (with
     texturing applied to the colour), alpha, and the distance-scaled
     shadow-acne bias.
@@ -109,6 +114,9 @@ def hit_info(scene, textures, ro, rd, t, ty, idx):
     Each primitive type's info is recomputed only per-ray (cheap [R]-sized
     gathers) and blended by the type mask — the TPU version of the GLSL
     if-chain.
+
+    ``pix_angle`` (radians per sample, 1/(height·ss)) enables ray-footprint
+    mip LOD for the texture fetches; None = level-0 bilinear.
     """
     R = t.shape
     dt = ro.dtype
@@ -127,6 +135,13 @@ def hit_info(scene, textures, ro, rd, t, ty, idx):
 
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
     pt = ro + rd * t_safe[..., None]
+
+    def fw_of(n):
+        """Ray-footprint width at the hit for LOD (None when LOD is off)."""
+        if pix_angle is None:
+            return None
+        cos_in = jnp.abs(jnp.sum(rd * n, axis=-1))
+        return tx.footprint_world(t_safe, cos_in, pix_angle)
 
     def blend(sel, mat, i, n, a=None, col_override=None):
         nonlocal n_out, color, absorb, diffuse, reflection, refraction
@@ -155,7 +170,10 @@ def hit_info(scene, textures, ro, rd, t, ty, idx):
             tex_num = sp.texture[i]
             # getSphereTexture rotates the normal by the sphere quat first
             # (rt.frag:320-322)
-            texc = tx.sample_sphere_texture(textures, tex_num, quat.rotate(sp.quat[i], n))
+            texc = tx.sample_sphere_texture(
+                textures, tex_num, quat.rotate(sp.quat[i], n),
+                fw_of(n), sp.radius[i],
+            )
             textured = tex_num > 0
             col = jnp.where(textured[..., None], texc[..., :3], sp.mat.color[i])
             a = jnp.where(textured, texc[..., 3], 1.0)
@@ -181,7 +199,7 @@ def hit_info(scene, textures, ro, rd, t, ty, idx):
         n = gi.box_normal(ro, rd, bx.pos[i], bx.quat[i], bx.form[i])
         col = None
         if textures.box is not None:
-            texc = tx.sample_box_texture(textures, pt, n, bx.pos[i], bx.quat[i])
+            texc = tx.sample_box_texture(textures, pt, n, bx.pos[i], bx.quat[i], fw_of(n))
             col = jnp.where((bx.texture[i] > 0)[..., None], texc[..., :3], bx.mat.color[i])
         blend(sel, bx.mat, i, n, None, col)
 
@@ -199,7 +217,7 @@ def hit_info(scene, textures, ro, rd, t, ty, idx):
         col, a = None, None
         if textures.ring is not None:
             uv = gi.ring_uv(ro, rd, t_safe, ri.pos[i], ri.quat[i], ri.r1[i], ri.r2[i])
-            texc = tx.sample_ring_texture(textures, uv)
+            texc = tx.sample_ring_texture(textures, uv, fw_of(n), ri.r1[i], ri.r2[i])
             textured = ri.texture[i] > 0
             col = jnp.where(textured[..., None], texc[..., :3], ri.mat.color[i])
             a = jnp.where(textured, texc[..., 3], 1.0)
@@ -229,11 +247,17 @@ def _background(scene, textures, rd):
     return jnp.broadcast_to(scene.bg_color, rd.shape)
 
 
+def _pix_angle(cfg):
+    """Radians subtended by one sample: raygen normalizes by height
+    (rt.frag:313-317), so sample spacing ≈ 1/(h·ss)."""
+    return 1.0 / (cfg.height * cfg.supersample) if cfg.texture_lod else None
+
+
 def _reflected_color(scene, textures, cfg, ro, rd):
     """getReflectedColor (rt.frag:787-802): ONE extra nearest-hit + shade
     for the glossy component of refractive surfaces (not recursive)."""
     t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside, cfg.backend)
-    hi = hit_info(scene, textures, ro, rd, t, ty, idx)
+    hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg))
     is_light = ty == TYPE_POINT_LIGHT
     hit = jnp.isfinite(t) & (ty >= 0) & ~is_light
 
@@ -307,7 +331,7 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
             alive = alive & ~is_light
             act = act & ~is_light
 
-        hi = hit_info(scene, textures, ro, rd, t, ty, idx)
+        hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg))
         n = hi["normal"]
         outside = jnp.sum(rd * n, axis=-1) < 0.0     # rt.frag:837
         n = jnp.where(outside[..., None], n, -n)
