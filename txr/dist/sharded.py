@@ -48,10 +48,9 @@ def render_sharded(scene, textures, cfg, mesh):
     spec = P(axes)          # flat ray axis sharded over every mesh axis
     nd = mesh.size
 
-    if cfg.texture_lod:
-        from txr.render.texture import with_mips
+    from txr.render.texture import with_mips
 
-        textures = with_mips(textures)  # replicated, built once per frame
+    textures = with_mips(textures)  # replicated, built once per frame
 
     ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, cfg.supersample)
     n_rays = ro.shape[0]
@@ -122,12 +121,9 @@ def make_train_step(textures, cfg, mesh, optimizer, param_paths=None):
     def step(scene, opt_state, target):
         import optax
 
-        if cfg.texture_lod:
-            from txr.render.texture import with_mips
+        from txr.render.texture import with_mips
 
-            tex = with_mips(textures)
-        else:
-            tex = textures
+        tex = with_mips(textures)
 
         params, frozen = split(scene)
         ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, cfg.supersample)

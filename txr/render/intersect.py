@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from txr.geometry import intersect as gi
+from txr.utils.gather import small_take
 from txr.scene.types import (
     Scene,
     TYPE_SPHERE,
@@ -119,33 +120,38 @@ def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True, t0=None):
     if c["planes"]:
         i = jnp.clip(idx, 0, c["planes"] - 1)
         tv = one(
-            gi.plane_t(ro, rd, scene.planes.pos[i][..., None, :],
-                       scene.planes.normal[i][..., None, :], one_side_planes)
+            gi.plane_t(ro, rd, small_take(scene.planes.pos, i)[..., None, :],
+                       small_take(scene.planes.normal, i)[..., None, :],
+                       one_side_planes)
         )
         t = jnp.where(ty == TYPE_PLANE, tv, t)
     if c["spheres"]:
         sp = scene.spheres
         i = jnp.clip(idx, 0, c["spheres"] - 1)
         tv = one(
-            gi.sphere_t(ro, rd, sp.pos[i][..., None, :], sp.radius[i][..., None],
-                        sp.hollow[i][..., None])
+            gi.sphere_t(ro, rd, small_take(sp.pos, i)[..., None, :],
+                        small_take(sp.radius, i)[..., None],
+                        small_take(sp.hollow, i)[..., None])
         )
         t = jnp.where(ty == TYPE_SPHERE, tv, t)
     if c["surfaces"]:
         s = scene.surfaces
         i = jnp.clip(idx, 0, c["surfaces"] - 1)
         tv = one(
-            gi.surface_t(ro, rd, s.pos[i][..., None, :], s.quat[i][..., None, :],
-                         s.coef[i][..., None, :], s.v_min[i][..., None, :],
-                         s.v_max[i][..., None, :])
+            gi.surface_t(ro, rd, small_take(s.pos, i)[..., None, :],
+                         small_take(s.quat, i)[..., None, :],
+                         small_take(s.coef, i)[..., None, :],
+                         small_take(s.v_min, i)[..., None, :],
+                         small_take(s.v_max, i)[..., None, :])
         )
         t = jnp.where(ty == TYPE_SURFACE, tv, t)
     if c["boxes"]:
         b = scene.boxes
         i = jnp.clip(idx, 0, c["boxes"] - 1)
         tv = one(
-            gi.box_t(ro, rd, b.pos[i][..., None, :], b.quat[i][..., None, :],
-                     b.form[i][..., None, :])
+            gi.box_t(ro, rd, small_take(b.pos, i)[..., None, :],
+                     small_take(b.quat, i)[..., None, :],
+                     small_take(b.form, i)[..., None, :])
         )
         t = jnp.where(ty == TYPE_BOX, tv, t)
     if c["toruses"]:
@@ -155,26 +161,32 @@ def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True, t0=None):
             from txr.geometry.torus import torus_polish_t
 
             tor_t0 = jnp.where(ty == TYPE_TORUS, t0, jnp.inf)
-            tv = torus_polish_t(ro, rd, to.pos[i], to.quat[i], to.form[i], tor_t0)
+            tv = torus_polish_t(ro, rd, small_take(to.pos, i),
+                                small_take(to.quat, i), small_take(to.form, i),
+                                tor_t0)
         else:
             tv = one(
-                gi.torus_t(ro, rd, to.pos[i][..., None, :], to.quat[i][..., None, :],
-                           to.form[i][..., None, :])
+                gi.torus_t(ro, rd, small_take(to.pos, i)[..., None, :],
+                           small_take(to.quat, i)[..., None, :],
+                           small_take(to.form, i)[..., None, :])
             )
         t = jnp.where(ty == TYPE_TORUS, tv, t)
     if c["rings"]:
         r = scene.rings
         i = jnp.clip(idx, 0, c["rings"] - 1)
         tv = one(
-            gi.ring_t(ro, rd, r.pos[i][..., None, :], r.quat[i][..., None, :],
-                      r.r1[i][..., None], r.r2[i][..., None])
+            gi.ring_t(ro, rd, small_take(r.pos, i)[..., None, :],
+                      small_take(r.quat, i)[..., None, :],
+                      small_take(r.r1, i)[..., None],
+                      small_take(r.r2, i)[..., None])
         )
         t = jnp.where(ty == TYPE_RING, tv, t)
     if c["lights_point"]:
         lp = scene.lights_point
         i = jnp.clip(idx, 0, c["lights_point"] - 1)
         tv = one(
-            gi.sphere_t(ro, rd, lp.pos[i][..., None, :], lp.radius[i][..., None],
+            gi.sphere_t(ro, rd, small_take(lp.pos, i)[..., None, :],
+                        small_take(lp.radius, i)[..., None],
                         jnp.zeros(R + (1,), bool))
         )
         t = jnp.where(ty == TYPE_POINT_LIGHT, tv, t)
@@ -210,8 +222,8 @@ def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="jnp"):
         slot = jnp.argmin(t_all, axis=-1)
         t0 = jnp.min(t_all, axis=-1)
     hit = t0 < MAX_DIST
-    ty = jnp.where(hit, type_tab[slot], -1)
-    idx = idx_tab[slot]
+    ty = jnp.where(hit, small_take(type_tab, slot), -1)
+    idx = small_take(idx_tab, slot)
     t = t_of_winner(scene, ro, rd, ty, idx, one_side_planes,
                     t0=jnp.where(hit, t0, jnp.inf))
     # forward value = the exact detached min; gradients come from the

@@ -20,10 +20,11 @@ from txr.render.trace import RenderConfig, trace
 
 def render(scene, textures, cfg: RenderConfig):
     """→ image [H, W, 3] float32, row 0 = top."""
-    if cfg.texture_lod:
-        # mip pyramids built once per frame inside jit (glGenerateMipmap
-        # analog); hoisted out of the chunk loop by construction
-        textures = with_mips(textures)
+    # packed sampling atlases (+ mip pyramids) built once per frame inside
+    # jit (glGenerateMipmap analog); hoisted out of the chunk loop by
+    # construction.  cfg.texture_lod only controls whether samplers get a
+    # ray-footprint LOD — the packed one-gather fetch is used either way.
+    textures = with_mips(textures)
     ss = cfg.supersample
     ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, ss)
     if cfg.ray_chunk:

@@ -29,6 +29,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from txr.utils.gather import small_take
+
 _PI = 3.14159265358979  # PI_F, rt.frag:5
 
 MIP_MIN_SIZE = 4   # stop the pyramid when a side would shrink below this
@@ -47,35 +49,79 @@ class TextureSet:
     cubemap: [6,H,W,4] or None, face order (+x,-x,+y,-y,+z,-z) like the
              reference's load_cubemap face list (main.cpp:137-145).
 
-    sphere_mips/ring_mips/box_mips: derived mip atlases — ``(atlas, offs)``
-    pairs filled by :func:`with_mips` inside a render (never persisted); the
-    analog of glGenerateMipmap at load (GLWrapper.cpp:343).  Differentiable:
-    gradients flow through the 2×2 box filter back to the level-0 arrays.
+    sphere_mips/ring_mips/box_mips/cubemap_packed: derived
+    :class:`PackedAtlas` sampling structures filled by :func:`with_mips`
+    inside a render (never persisted) — the analog of glGenerateMipmap at
+    load (GLWrapper.cpp:343), reorganised for the TPU's gather cost model
+    (see PackedAtlas).  Differentiable: gradients flow through the 2×2 box
+    filter and the quad packing back to the level-0 arrays.
     """
 
     sphere: tuple = ()
     ring: object = None
     box: object = None
     cubemap: object = None
-    sphere_mips: tuple = ()
+    sphere_mips: object = None
     ring_mips: object = None
     box_mips: object = None
+    cubemap_packed: object = None
 
 
 jax.tree_util.register_dataclass(
     TextureSet,
     data_fields=["sphere", "ring", "box", "cubemap",
-                 "sphere_mips", "ring_mips", "box_mips"],
+                 "sphere_mips", "ring_mips", "box_mips", "cubemap_packed"],
     meta_fields=[],
 )
 
 
-def build_mip_atlas(tex):
-    """Mip pyramid of ``tex`` [H,W,C], packed into one vertically-stacked
-    atlas.  Level l occupies rows [offs[l], offs[l] + H>>l) and columns
-    [0, W>>l).  Returns (atlas [ΣH_l, W, C], offs int32 [L]).  Levels are
-    2×2 box-filtered (the standard glGenerateMipmap filter); the pyramid
-    stops when a side would drop below MIP_MIN_SIZE or become odd."""
+@dataclasses.dataclass
+class PackedAtlas:
+    """Gather-optimised multi-texture mip atlas.
+
+    TPU gathers cost ~90M indices/s regardless of row width (measured,
+    v5e), so the sampler's job is to touch as few indices as possible:
+
+    * **Quad packing**: every texel stores its own 2×2 bilinear
+      neighbourhood — ``qatlas[y, x] = concat(t[y,x], t[y,x+1], t[y+1,x],
+      t[y+1,x+1])`` (neighbours pre-wrapped/clamped) — so one gather yields
+      all four bilinear taps.  The lerp math is unchanged, so results are
+      bit-identical to the 4-gather form.
+    * **One atlas per sampler**: all textures a sampler can select between
+      (the sphere texture list, the 6 cubemap faces) live in one
+      vertically-stacked array, so per-ray texture selection is index
+      arithmetic instead of sample-all-then-select.
+    * **Closed-form mip offsets**: levels are exact 2× halvings, so level
+      l of a texture with base height H0 starts at row
+      ``2·H0 − (2·H0 >> l)`` — no offset-table gather.
+
+    qatlas: [ΣH_atlas, Wmax, 4·C] — per-texture mip pyramids (level 0 first)
+            stacked vertically, each level quad-packed.
+    base/h0/w0/levels: static per-texture tuples — level-0 row offset,
+            level-0 dims, pyramid depth.  Static so they fold into the
+            compiled program (the reference bakes texture dims the same
+            way: GL samplers carry their size in the object).
+    wrap:   "repeat" (GL_REPEAT, scene textures) or "clamp" (cubemap).
+    """
+
+    qatlas: object
+    base: tuple
+    h0: tuple
+    w0: tuple
+    levels: tuple
+    wrap: str = "repeat"
+
+
+jax.tree_util.register_dataclass(
+    PackedAtlas,
+    data_fields=["qatlas"],
+    meta_fields=["base", "h0", "w0", "levels", "wrap"],
+)
+
+
+def _mip_levels(tex):
+    """2×2 box-filtered pyramid (the glGenerateMipmap filter); stops when a
+    side would drop below MIP_MIN_SIZE or become odd."""
     levels = [tex]
     while True:
         t = levels[-1]
@@ -83,26 +129,84 @@ def build_mip_atlas(tex):
         if H % 2 or W % 2 or H // 2 < MIP_MIN_SIZE or W // 2 < MIP_MIN_SIZE:
             break
         levels.append(t.reshape(H // 2, 2, W // 2, 2, t.shape[-1]).mean(axis=(1, 3)))
-    offs = []
+    return levels
+
+
+def _quad_pack(t, wrap):
+    """[H,W,C] → [H,W,4C]: each texel bundles its 2×2 bilinear quad."""
+    if wrap == "repeat":
+        right = jnp.roll(t, -1, axis=1)
+        down = jnp.roll(t, -1, axis=0)
+        downright = jnp.roll(down, -1, axis=1)
+    else:  # clamp to edge
+        right = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+        down = jnp.concatenate([t[1:], t[-1:]], axis=0)
+        downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate([t, right, down, downright], axis=-1)
+
+
+def build_packed_atlas(textures, wrap="repeat", mips=True):
+    """Pack a list of [H,W,C] textures (+ their mip pyramids) into one
+    PackedAtlas."""
+    textures = [jnp.asarray(t) for t in textures]
+    C = textures[0].shape[-1]
+    wmax = max(t.shape[1] for t in textures)
+    rows = []
+    base, h0, w0, levels = [], [], [], []
     off = 0
-    for t in levels:
-        offs.append(off)
-        off += t.shape[0]
-    atlas = jnp.zeros((off, tex.shape[1], tex.shape[-1]), tex.dtype)
-    for t, o in zip(levels, offs):
-        atlas = atlas.at[o : o + t.shape[0], : t.shape[1]].set(t)
-    return atlas, jnp.asarray(offs, jnp.int32)
+    for t in textures:
+        lv = _mip_levels(t) if mips else [t]
+        base.append(off)
+        h0.append(t.shape[0])
+        w0.append(t.shape[1])
+        levels.append(len(lv))
+        for l in lv:
+            q = _quad_pack(l, wrap)
+            pad_w = wmax - q.shape[1]
+            if pad_w:
+                q = jnp.concatenate(
+                    [q, jnp.zeros((q.shape[0], pad_w, 4 * C), q.dtype)], axis=1
+                )
+            rows.append(q)
+            off += q.shape[0]
+    return PackedAtlas(
+        qatlas=jnp.concatenate(rows, axis=0),
+        base=tuple(base),
+        h0=tuple(h0),
+        w0=tuple(w0),
+        levels=tuple(levels),
+        wrap=wrap,
+    )
 
 
 def with_mips(textures: TextureSet) -> TextureSet:
-    """TextureSet with mip atlases built for every 2D texture (idempotent)."""
-    if textures.sphere_mips or textures.ring_mips or textures.box_mips:
+    """TextureSet with packed sampling atlases built for every texture
+    (idempotent).  Runs inside jit at render entry — the glGenerateMipmap
+    moment (GLWrapper.cpp:343), re-run per frame so texture gradients flow."""
+    if (
+        textures.sphere_mips is not None
+        or textures.ring_mips is not None
+        or textures.box_mips is not None
+    ):
         return textures
     return dataclasses.replace(
         textures,
-        sphere_mips=tuple(build_mip_atlas(t) for t in textures.sphere),
-        ring_mips=None if textures.ring is None else build_mip_atlas(textures.ring),
-        box_mips=None if textures.box is None else build_mip_atlas(textures.box),
+        sphere_mips=(
+            build_packed_atlas(list(textures.sphere)) if textures.sphere else None
+        ),
+        ring_mips=(
+            None if textures.ring is None else build_packed_atlas([textures.ring])
+        ),
+        box_mips=(
+            None if textures.box is None else build_packed_atlas([textures.box])
+        ),
+        cubemap_packed=(
+            None
+            if textures.cubemap is None
+            else build_packed_atlas(
+                [textures.cubemap[f] for f in range(6)], wrap="clamp", mips=False
+            )
+        ),
     )
 
 
@@ -149,45 +253,67 @@ def sample_bilinear(tex, uv, wrap="repeat"):
     return top * (1.0 - fv) + bot * fv
 
 
-def _bilinear_at_level(atlas, offs, H0, W0, uv, level):
-    """Bilinear fetch at a per-ray dynamic mip ``level`` from a packed atlas
-    (REPEAT wrap within the level).  H0/W0 are the static level-0 dims."""
-    Hl = jnp.right_shift(jnp.int32(H0), level)
-    Wl = jnp.right_shift(jnp.int32(W0), level)
-    off = offs[level]
+def _meta(pa: PackedAtlas, k):
+    """Per-ray texture metadata from the static tuples (select chains fold
+    the python constants straight into the program)."""
+    take = lambda tup: small_take(jnp.asarray(tup, jnp.int32), k)
+    return take(pa.base), take(pa.h0), take(pa.w0), take(pa.levels)
+
+
+def _fetch_level_packed(pa: PackedAtlas, b, h0, w0, uv, level):
+    """Bilinear fetch at mip ``level`` — ONE gather per ray (quad-packed).
+
+    b/h0/w0/level: per-ray int32 arrays.  Bit-identical lerp math to the
+    4-gather form (the quad holds exactly the same four texels)."""
+    Hl = jnp.right_shift(h0, level)
+    Wl = jnp.right_shift(w0, level)
     u = uv[..., 0] * Wl - 0.5
     v = uv[..., 1] * Hl - 0.5
+    if pa.wrap == "clamp":
+        # clamp the *sample point* into the texel-centre span so the packed
+        # edge-duplicated neighbour is always the right one (uv ∈ [0,1])
+        u = jnp.clip(u, 0.0, (Wl - 1).astype(u.dtype))
+        v = jnp.clip(v, 0.0, (Hl - 1).astype(v.dtype))
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
     fu = (u - u0)[..., None]
     fv = (v - v0)[..., None]
     u0 = u0.astype(jnp.int32)
     v0 = v0.astype(jnp.int32)
-    wu = lambda i: jnp.mod(i, Wl)
-    wv = lambda i: jnp.mod(i, Hl) + off
-    c00 = atlas[wv(v0), wu(u0)]
-    c01 = atlas[wv(v0), wu(u0 + 1)]
-    c10 = atlas[wv(v0 + 1), wu(u0)]
-    c11 = atlas[wv(v0 + 1), wu(u0 + 1)]
+    if pa.wrap == "clamp":
+        cu = u0
+        cv = v0
+    else:
+        cu = jnp.mod(u0, Wl)
+        cv = jnp.mod(v0, Hl)
+    # level-l row offset within the texture: levels halve exactly, so
+    # Σ_{j<l} H0>>j = 2·H0 − (2·H0 >> l)
+    h2 = jnp.left_shift(h0, 1)
+    row = b + h2 - jnp.right_shift(h2, level) + cv
+    q = pa.qatlas[row, cu]                       # [R, 4C] — the one gather
+    C = q.shape[-1] // 4
+    c00, c01, c10, c11 = q[..., :C], q[..., C:2 * C], q[..., 2 * C:3 * C], q[..., 3 * C:]
     top = c00 * (1.0 - fu) + c01 * fu
     bot = c10 * (1.0 - fu) + c11 * fu
     return top * (1.0 - fv) + bot * fv
 
 
-def sample_trilinear(mips, shape0, uv, lod):
-    """Trilinear (bilinear × 2 levels + lerp) fetch: the TPU textureLod.
+def sample_packed(pa: PackedAtlas, k, uv, lod=None):
+    """Texture fetch from a PackedAtlas: the TPU textureLod.
 
-    mips: (atlas, offs) from build_mip_atlas; shape0: static (H, W) of
-    level 0; lod: per-ray continuous level, clamped to the pyramid."""
-    atlas, offs = mips
-    L = offs.shape[0]
-    H0, W0 = shape0
-    lod = jnp.clip(lod, 0.0, float(L - 1))
+    k: per-ray texture id within the atlas (int32, callers clip);
+    uv: [...,2]; lod: per-ray continuous mip level or None (level 0,
+    plain bilinear — one gather).  Trilinear costs two gathers total."""
+    b, h0, w0, L = _meta(pa, k)
+    if lod is None:
+        return _fetch_level_packed(pa, b, h0, w0, uv, jnp.zeros_like(b))
+    lmax = (L - 1).astype(lod.dtype)
+    lod = jnp.clip(lod, 0.0, lmax)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, L - 1)
     f = (lod - l0.astype(lod.dtype))[..., None]
-    c0 = _bilinear_at_level(atlas, offs, H0, W0, uv, l0)
-    c1 = _bilinear_at_level(atlas, offs, H0, W0, uv, l1)
+    c0 = _fetch_level_packed(pa, b, h0, w0, uv, l0)
+    c1 = _fetch_level_packed(pa, b, h0, w0, uv, l1)
     return c0 * (1.0 - f) + c1 * f
 
 
@@ -210,22 +336,28 @@ def footprint_world(t, cos_in, pix_angle):
 
 def lod_sphere(fw, radius, shape0):
     """Spherical mapping: u spans 2π·r of surface per texture repeat, v spans
-    π·r  →  texels/world = max(W/2π, H/π)/r (equator-scale estimate)."""
+    π·r  →  texels/world = max(W/2π, H/π)/r (equator-scale estimate).
+    shape0 = (H, W): python ints or per-ray int arrays."""
     H, W = shape0
-    tpw = max(W / (2.0 * _PI), H / _PI) / jnp.maximum(radius, 1e-6)
+    H = jnp.asarray(H, jnp.float32)
+    W = jnp.asarray(W, jnp.float32)
+    tpw = jnp.maximum(W / (2.0 * _PI), H / _PI) / jnp.maximum(radius, 1e-6)
     return _lod_from_texels(fw * tpw)
 
 
 def lod_box(fw, shape0):
     """Triplanar mapping uv = 0.5·p → 0.5 uv-units per world unit."""
     H, W = shape0
-    return _lod_from_texels(fw * (0.5 * max(H, W)))
+    side = jnp.maximum(jnp.asarray(H, jnp.float32), jnp.asarray(W, jnp.float32))
+    return _lod_from_texels(fw * 0.5 * side)
 
 
 def lod_ring(fw, r1_sq, r2_sq, shape0):
     """Annulus mapping u = (ρ² − r1²)/(r2² − r1²), v = cos θ: radial
     texels/world = W·2ρ/(r2²−r1²) at the mid radius ρm; angular ≈ H/(π·ρm)."""
     H, W = shape0
+    H = jnp.asarray(H, jnp.float32)
+    W = jnp.asarray(W, jnp.float32)
     rm = jnp.sqrt(jnp.maximum(0.5 * (r1_sq + r2_sq), 1e-12))
     tpw = jnp.maximum(
         W * 2.0 * rm / jnp.maximum(r2_sq - r1_sq, 1e-12), H / (_PI * rm)
@@ -246,15 +378,20 @@ def sample_sphere_texture(textures: TextureSet, tex_num, normal, fw=None, radius
     quat (done by the caller), spherical UV, then trilinear at the ray-
     footprint LOD (the fwidth-mip replacement) when ``fw`` (footprint_world)
     is given, else plain bilinear.  ``tex_num`` [R] selects among the static
-    tuple; 0/out-of-range → white opaque (callers gate on tex_num != 0)."""
+    tuple (callers gate on tex_num != 0, so the 0/out-of-range sample value
+    is discarded)."""
     uv = sphere_uv(normal)
+    pa = textures.sphere_mips
+    if pa is not None:
+        k = jnp.clip(tex_num - 1, 0, len(pa.h0) - 1)
+        lod = None
+        if fw is not None:
+            _, h0, w0, _ = _meta(pa, k)
+            lod = lod_sphere(fw, radius, (h0, w0))
+        return sample_packed(pa, k, uv, lod)
     out = jnp.ones(uv.shape[:-1] + (4,), jnp.float32)
     for i, tex in enumerate(textures.sphere):
-        if fw is not None and textures.sphere_mips:
-            lod = lod_sphere(fw, radius, tex.shape[:2])
-            c = sample_trilinear(textures.sphere_mips[i], tex.shape[:2], uv, lod)
-        else:
-            c = sample_bilinear(tex, uv)
+        c = sample_bilinear(tex, uv)
         out = jnp.where((tex_num == i + 1)[..., None], c, out)
     return out
 
@@ -269,12 +406,14 @@ def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat, fw=N
     p = quat.rotate(box_quat, pt)
     n = quat.rotate(box_quat, normal)
     tex = textures.box
+    pa = textures.box_mips
 
     def face(axes):
         uv = 0.5 * (p[..., axes] - pos[..., axes]) - 0.5
-        if fw is not None and textures.box_mips is not None:
-            lod = lod_box(fw, tex.shape[:2])
-            return sample_trilinear(textures.box_mips, tex.shape[:2], uv, lod)
+        if pa is not None:
+            k = jnp.zeros(uv.shape[:-1], jnp.int32)
+            lod = lod_box(fw, tex.shape[:2]) if fw is not None else None
+            return sample_packed(pa, k, uv, lod)
         return sample_bilinear(tex, uv)
 
     return (
@@ -286,17 +425,20 @@ def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat, fw=N
 
 def sample_ring_texture(textures: TextureSet, uv, fw=None, r1_sq=None, r2_sq=None):
     """texture(texture_ring, uv) (rt.frag:395-397)."""
-    if fw is not None and textures.ring_mips is not None:
-        lod = lod_ring(fw, r1_sq, r2_sq, textures.ring.shape[:2])
-        return sample_trilinear(textures.ring_mips, textures.ring.shape[:2], uv, lod)
+    pa = textures.ring_mips
+    if pa is not None:
+        k = jnp.zeros(uv.shape[:-1], jnp.int32)
+        lod = None
+        if fw is not None:
+            lod = lod_ring(fw, r1_sq, r2_sq, textures.ring.shape[:2])
+        return sample_packed(pa, k, uv, lod)
     return sample_bilinear(textures.ring, uv)
 
 
-# face layout tables for GL cubemap lookup (major axis selects the face;
+# face layout for GL cubemap lookup (major axis selects the face;
 # sc/tc formulas per the GL 3.3 spec §8.13, matching textureCube)
-def sample_cubemap(cubemap, d):
-    """Environment lookup for direction d [...,3] → RGB [...,3]
-    (skybox sample, rt.frag:893)."""
+def _cube_face_uv(d):
+    """direction [...,3] → (face [...] int32, uv [...,2])."""
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
 
@@ -320,14 +462,26 @@ def sample_cubemap(cubemap, d):
 
     u = 0.5 * (sc / ma + 1.0)
     v = 0.5 * (tc / ma + 1.0)
-    uv = jnp.stack([u, v], axis=-1)
+    return face, jnp.stack([u, v], axis=-1)
 
-    # bilinear within the selected face, clamped (no seam filtering)
+
+def sample_cubemap(cubemap, d):
+    """Environment lookup for direction d [...,3] → RGB [...,3]
+    (skybox sample, rt.frag:893).  Sample-all-faces-and-select fallback;
+    the hot path is :func:`sample_cubemap_packed`."""
+    face, uv = _cube_face_uv(d)
     out = jnp.zeros(d.shape[:-1] + (cubemap.shape[-1],), jnp.float32)
     for f in range(6):
         c = sample_bilinear(cubemap[f], uv, wrap="clamp")
         out = jnp.where((face == f)[..., None], c, out)
     return out[..., :3]
+
+
+def sample_cubemap_packed(pa: PackedAtlas, d):
+    """Environment lookup via the packed 6-face atlas — one gather per ray
+    instead of 24 (6 faces × 4 bilinear taps)."""
+    face, uv = _cube_face_uv(d)
+    return sample_packed(pa, face, uv)[..., :3]
 
 
 def checkerboard(h=256, w=256, c1=(1.0, 1.0, 1.0), c2=(0.2, 0.2, 0.2), tiles=8):

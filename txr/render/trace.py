@@ -26,6 +26,7 @@ from txr.geometry import intersect as gi
 from txr.geometry import quaternion as quat
 from txr.render import texture as tx
 from txr.render.intersect import nearest_hit, MAX_DIST
+from txr.utils.gather import small_take
 from txr.render.shading import (
     calc_shade,
     fresnel_reflect_amount,
@@ -148,15 +149,15 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
         nonlocal specular, kd, ks, alpha
         s1 = sel[..., None]
         n_out = jnp.where(s1, n, n_out)
-        col = mat.color[i] if col_override is None else col_override
+        col = small_take(mat.color, i) if col_override is None else col_override
         color = jnp.where(s1, col, color)
-        absorb = jnp.where(s1, mat.absorb[i], absorb)
-        diffuse = jnp.where(sel, mat.diffuse[i], diffuse)
-        reflection = jnp.where(sel, mat.reflect[i], reflection)
-        refraction = jnp.where(sel, mat.refract[i], refraction)
-        specular = jnp.where(sel, mat.specular[i], specular)
-        kd = jnp.where(sel, mat.kd[i], kd)
-        ks = jnp.where(sel, mat.ks[i], ks)
+        absorb = jnp.where(s1, small_take(mat.absorb, i), absorb)
+        diffuse = jnp.where(sel, small_take(mat.diffuse, i), diffuse)
+        reflection = jnp.where(sel, small_take(mat.reflect, i), reflection)
+        refraction = jnp.where(sel, small_take(mat.refract, i), refraction)
+        specular = jnp.where(sel, small_take(mat.specular, i), specular)
+        kd = jnp.where(sel, small_take(mat.kd, i), kd)
+        ks = jnp.where(sel, small_take(mat.ks, i), ks)
         if a is not None:
             alpha = jnp.where(sel, a, alpha)
 
@@ -164,62 +165,73 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
         sp = scene.spheres
         i = jnp.clip(idx, 0, c["spheres"] - 1)
         sel = ty == TYPE_SPHERE
-        n = gi.sphere_normal(pt, sp.pos[i])
+        n = gi.sphere_normal(pt, small_take(sp.pos, i))
         col, a = None, None
         if len(textures.sphere):
-            tex_num = sp.texture[i]
+            tex_num = small_take(sp.texture, i)
+            radius = small_take(sp.radius, i)
             # getSphereTexture rotates the normal by the sphere quat first
             # (rt.frag:320-322)
             texc = tx.sample_sphere_texture(
-                textures, tex_num, quat.rotate(sp.quat[i], n),
-                fw_of(n), sp.radius[i],
+                textures, tex_num, quat.rotate(small_take(sp.quat, i), n),
+                fw_of(n), radius,
             )
             textured = tex_num > 0
-            col = jnp.where(textured[..., None], texc[..., :3], sp.mat.color[i])
+            col = jnp.where(textured[..., None], texc[..., :3],
+                            small_take(sp.mat.color, i))
             a = jnp.where(textured, texc[..., 3], 1.0)
         blend(sel, sp.mat, i, n, a, col)
 
     if c["planes"]:
         pl = scene.planes
         i = jnp.clip(idx, 0, c["planes"] - 1)
-        nrm = pl.normal[i]
+        nrm = small_take(pl.normal, i)
         n = gi.safe_normalize(nrm)
         blend(ty == TYPE_PLANE, pl.mat, i, n)
 
     if c["surfaces"]:
         su = scene.surfaces
         i = jnp.clip(idx, 0, c["surfaces"] - 1)
-        n = gi.surface_normal(ro, rd, t_safe, su.pos[i], su.quat[i], su.coef[i])
+        n = gi.surface_normal(ro, rd, t_safe, small_take(su.pos, i),
+                              small_take(su.quat, i), small_take(su.coef, i))
         blend(ty == TYPE_SURFACE, su.mat, i, n)
 
     if c["boxes"]:
         bx = scene.boxes
         i = jnp.clip(idx, 0, c["boxes"] - 1)
         sel = ty == TYPE_BOX
-        n = gi.box_normal(ro, rd, bx.pos[i], bx.quat[i], bx.form[i])
+        bpos = small_take(bx.pos, i)
+        bquat = small_take(bx.quat, i)
+        n = gi.box_normal(ro, rd, bpos, bquat, small_take(bx.form, i))
         col = None
         if textures.box is not None:
-            texc = tx.sample_box_texture(textures, pt, n, bx.pos[i], bx.quat[i], fw_of(n))
-            col = jnp.where((bx.texture[i] > 0)[..., None], texc[..., :3], bx.mat.color[i])
+            texc = tx.sample_box_texture(textures, pt, n, bpos, bquat, fw_of(n))
+            col = jnp.where((small_take(bx.texture, i) > 0)[..., None],
+                            texc[..., :3], small_take(bx.mat.color, i))
         blend(sel, bx.mat, i, n, None, col)
 
     if c["toruses"]:
         to = scene.toruses
         i = jnp.clip(idx, 0, c["toruses"] - 1)
-        n = gi.torus_normal(ro, rd, t_safe, to.pos[i], to.quat[i], to.form[i])
+        n = gi.torus_normal(ro, rd, t_safe, small_take(to.pos, i),
+                            small_take(to.quat, i), small_take(to.form, i))
         blend(ty == TYPE_TORUS, to.mat, i, n)
 
     if c["rings"]:
         ri = scene.rings
         i = jnp.clip(idx, 0, c["rings"] - 1)
         sel = ty == TYPE_RING
-        n = gi.ring_normal(ri.quat[i])
+        rquat = small_take(ri.quat, i)
+        n = gi.ring_normal(rquat)
         col, a = None, None
         if textures.ring is not None:
-            uv = gi.ring_uv(ro, rd, t_safe, ri.pos[i], ri.quat[i], ri.r1[i], ri.r2[i])
-            texc = tx.sample_ring_texture(textures, uv, fw_of(n), ri.r1[i], ri.r2[i])
-            textured = ri.texture[i] > 0
-            col = jnp.where(textured[..., None], texc[..., :3], ri.mat.color[i])
+            r1 = small_take(ri.r1, i)
+            r2 = small_take(ri.r2, i)
+            uv = gi.ring_uv(ro, rd, t_safe, small_take(ri.pos, i), rquat, r1, r2)
+            texc = tx.sample_ring_texture(textures, uv, fw_of(n), r1, r2)
+            textured = small_take(ri.texture, i) > 0
+            col = jnp.where(textured[..., None], texc[..., :3],
+                            small_take(ri.mat.color, i))
             a = jnp.where(textured, texc[..., 3], 1.0)
         blend(sel, ri.mat, i, n, a, col)
 
@@ -242,6 +254,8 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
 
 
 def _background(scene, textures, rd):
+    if textures.cubemap_packed is not None:
+        return tx.sample_cubemap_packed(textures.cubemap_packed, rd)
     if textures.cubemap is not None:
         return tx.sample_cubemap(textures.cubemap, rd)
     return jnp.broadcast_to(scene.bg_color, rd.shape)
@@ -275,7 +289,8 @@ def _reflected_color(scene, textures, cfg, ro, rd):
     )
     color = jnp.where(hit[..., None], shade, 0.0)
     if scene.counts["lights_point"]:
-        lcol = scene.lights_point.color[jnp.clip(idx, 0, scene.counts["lights_point"] - 1)]
+        lcol = small_take(scene.lights_point.color,
+                          jnp.clip(idx, 0, scene.counts["lights_point"] - 1))
         color = jnp.where(is_light[..., None], lcol, color)
     return color
 
@@ -324,9 +339,10 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         # -- light bulb hit (rt.frag:829-832)
         if has_lights:
             is_light = act & (ty == TYPE_POINT_LIGHT)
-            lcol = scene.lights_point.color[
-                jnp.clip(idx, 0, scene.counts["lights_point"] - 1)
-            ]
+            lcol = small_take(
+                scene.lights_point.color,
+                jnp.clip(idx, 0, scene.counts["lights_point"] - 1),
+            )
             color = jnp.where(is_light[..., None], color + lcol * mask, color)
             alive = alive & ~is_light
             act = act & ~is_light
