@@ -139,18 +139,29 @@ def make_train_step(textures, cfg, mesh, optimizer, param_paths=None):
             in_specs=(P(), P(), spec, spec, spec, spec), out_specs=(P(), P()),
         )
         def grad_tile(params, frozen, ro, rd, tgt, valid):
+            # pvary the replicated params HERE, at the shard boundary, so
+            # the broadcast-transpose psum of the partial parameter grads is
+            # anchored at this point in the backward sweep.  Without it the
+            # VMA machinery would place that psum wherever the replicated
+            # closure is first consumed — which, with the dead-batch
+            # lax.cond gate in trace(), can be *inside* a branch whose
+            # device-varying predicate lets some devices skip the
+            # collective: a cross-device deadlock.
+            params = jax.tree_util.tree_map(
+                lambda x: jax.lax.pvary(x, axes), params
+            )
+
             def local_loss(params):
                 sc = rebuild(scene, params, frozen)
                 c = trace(sc, tex, cfg, ro, rd)
                 return jnp.sum(valid[:, None] * (c - tgt) ** 2)
 
             l, g = jax.value_and_grad(local_loss)(params)
-            # params enter the shard body replicated (P()), so the VMA type
-            # system already inserts the cross-device psum of the partial
-            # parameter grads in the broadcast-transpose: g leaves here
-            # complete and replicated.  Only the (varying) local loss still
-            # needs the explicit psum.
+            # post-pvary, g holds this device's PARTIAL parameter grads
+            # (typed varying); one explicit psum — here, outside any cond —
+            # completes them.  Same for the local loss.
             l = jax.lax.psum(l, axes)
+            g = jax.lax.psum(g, axes)
             return l, g
 
         loss_sum, grads = grad_tile(params, frozen, ro, rd, target_flat, valid)

@@ -193,17 +193,20 @@ def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True, t0=None):
     return t
 
 
-def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="jnp"):
+def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="auto"):
     """calcInter: → (t [R], type [R] int32, idx [R] int32).
 
     Misses report t = +inf, type = −1.
 
     The winner search (argmin over every primitive slot) runs detached —
     via the fused Pallas kernel when backend="pallas", else the batched jnp
-    sweep — and the returned t is recomputed differentiably for the single
-    winning primitive per ray (t_of_winner).  This keeps the backward pass
-    O(R) instead of O(R·P).
+    sweep ("auto" = pallas wherever Mosaic compiles, i.e. any non-CPU
+    backend) — and the returned t is recomputed differentiably for the
+    single winning primitive per ray (t_of_winner).  This keeps the
+    backward pass O(R) instead of O(R·P).
     """
+    if backend == "auto":
+        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
     R = ro.shape[:-1]
     sg = jax.lax.stop_gradient
     type_tab, idx_tab = _type_tables(scene)

