@@ -61,6 +61,31 @@ def test_pallas_full_render_matches():
     assert (diff > 1e-3).mean() <= 0.01, (diff > 1e-3).mean()
 
 
+def test_pallas_shadow_matches_jnp():
+    """Fused any-hit kernel vs the jnp shadow_factor, incl. ring alpha."""
+    from txr.render.intersect import shadow_factor
+    from txr.render.texture import with_mips
+
+    scene, tex = _full_scene()
+    tex = with_mips(tex)
+    ro, rd = primary_rays(scene.camera, 48, 32, 1)
+    # shadow query geometry: from slightly off the primary origin toward a
+    # fixed light point, like calc_shade does
+    light = jnp.asarray([3.0, 5.0, 0.0])
+    pt = ro + rd * 2.0
+    ldir = light - pt
+    dist = jnp.sqrt(jnp.sum(ldir * ldir, axis=-1))
+    ldir = ldir / dist[..., None]
+
+    f_j = jax.jit(lambda s, p, d, dd, tx_: shadow_factor(s, p, d, dd, tx_, True, "jnp"))
+    f_p = jax.jit(lambda s, p, d, dd, tx_: shadow_factor(s, p, d, dd, tx_, True, "pallas"))
+    sh_j = np.array(f_j(scene, pt, ldir, dist, tex))
+    sh_p = np.array(f_p(scene, pt, ldir, dist, tex))
+    # identical math modulo fusion; grazing torus roots may flip rarely
+    assert (np.abs(sh_j - sh_p) > 1e-4).mean() <= 0.005, (
+        np.abs(sh_j - sh_p) > 1e-4).mean()
+
+
 def test_pallas_empty_types():
     """Scene with only spheres (most branches compiled out)."""
     from txr.scene.factories import SceneBuilder

@@ -235,7 +235,8 @@ def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="auto"):
     return t, ty, idx
 
 
-def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=True):
+def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=True,
+                  backend="auto"):
     """inShadow (rt.frag:630-658): any occluder with t < dist casts a full
     shadow (factor 1), except textured rings which attenuate by their
     texture alpha at the hit UV (rt.frag:643-651).  Spheres are tested
@@ -243,9 +244,46 @@ def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=Tru
     (rt.frag:652-655).
 
     ro, rd [R,3]; dist [R].  Returns shadow ∈ [0,1], [R].
+
+    backend="pallas" (the "auto" choice off-CPU) runs the fused any-hit
+    kernel: occlusion is an inherently piecewise-constant visibility term,
+    and the ring-alpha attenuation keeps its texture-content gradient (the
+    alpha fetch happens outside the kernel at the kernel's detached hit UV —
+    only the measure-zero dependence of the UV itself on scene parameters is
+    dropped relative to the jnp path).
     """
+    if backend == "auto":
+        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
     c = scene.counts
     R = ro.shape[:-1]
+
+    if backend == "pallas" and ro.ndim == 2:
+        from txr.kernels.pallas_intersect import shadow_sweep_pallas
+
+        sg = jax.lax.stop_gradient
+        solid_f, ring_hit, ring_uv = shadow_sweep_pallas(
+            sg(scene), sg(ro), sg(rd), sg(dist), one_side_planes
+        )
+        shadow = solid_f
+        if c["rings"]:
+            r = scene.rings
+            textured = r.texture > 0                     # [P]
+            shadow = jnp.maximum(
+                shadow, jnp.any(ring_hit & ~textured, axis=-1).astype(ro.dtype)
+            )
+            if textures is not None and textures.ring is not None:
+                from txr.render.texture import sample_ring_texture
+
+                alpha = sample_ring_texture(textures, ring_uv)[..., 3]  # [R,P]
+                shadow = shadow + jnp.sum(
+                    jnp.where(ring_hit & textured, alpha, 0.0), axis=-1
+                )
+            else:
+                shadow = jnp.maximum(
+                    shadow, jnp.any(ring_hit & textured, axis=-1).astype(ro.dtype)
+                )
+        return jnp.minimum(shadow, 1.0)
+
     solid = jnp.zeros(R, bool)
 
     def occludes(t_rp):

@@ -88,6 +88,7 @@ def calc_shade(
     do_shadow=True,
     shadow_enabled=True,
     one_side_planes=True,
+    backend="auto",
 ):
     """calcShade (rt.frag:681-709): ambient + per-light Phong with shadows
     and distance attenuation.
@@ -108,7 +109,8 @@ def calc_shade(
             sh = jnp.stack(
                 [
                     shadow_factor(
-                        scene, pt, ld[..., i, :], dist[..., i], textures, one_side_planes
+                        scene, pt, ld[..., i, :], dist[..., i], textures,
+                        one_side_planes, backend,
                     )
                     for i in range(L)
                 ],

@@ -286,7 +286,7 @@ def _reflected_color(scene, textures, cfg, ro, rd):
     shade = calc_shade(
         scene, textures, ro2, rd,
         hi["color"], hi["diffuse"], hi["specular"], hi["kd"], hi["ks"],
-        n, True, cfg.shadow_enabled, cfg.plane_oneside,
+        n, True, cfg.shadow_enabled, cfg.plane_oneside, cfg.backend,
     )
     color = jnp.where(hit[..., None], shade, 0.0)
     if scene.counts["lights_point"]:
@@ -425,7 +425,7 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         shade = calc_shade(
             scene, textures, shade_origin_out, rd,
             hi["color"], hi["diffuse"], hi["specular"], hi["kd"], hi["ks"],
-            n, True, cfg.shadow_enabled, cfg.plane_oneside,
+            n, True, cfg.shadow_enabled, cfg.plane_oneside, cfg.backend,
         )
         shade = jnp.where(needs_shade[..., None], shade, 0.0)
 
