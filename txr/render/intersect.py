@@ -274,10 +274,18 @@ def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=Tru
             if textures is not None and textures.ring is not None:
                 from txr.render.texture import sample_ring_texture
 
-                alpha = sample_ring_texture(textures, ring_uv)[..., 3]  # [R,P]
-                shadow = shadow + jnp.sum(
-                    jnp.where(ring_hit & textured, alpha, 0.0), axis=-1
+                need = ring_hit & textured
+                alpha_sum = jax.lax.cond(      # the alpha fetch is a gather
+                    jnp.any(need),
+                    lambda: jnp.sum(
+                        jnp.where(
+                            need, sample_ring_texture(textures, ring_uv)[..., 3], 0.0
+                        ),
+                        axis=-1,
+                    ),
+                    lambda: jnp.zeros_like(dist),
                 )
+                shadow = shadow + alpha_sum
             else:
                 shadow = jnp.maximum(
                     shadow, jnp.any(ring_hit & textured, axis=-1).astype(ro.dtype)

@@ -49,28 +49,29 @@ class TextureSet:
     cubemap: [6,H,W,4] or None, face order (+x,-x,+y,-y,+z,-z) like the
              reference's load_cubemap face list (main.cpp:137-145).
 
-    sphere_mips/ring_mips/box_mips/cubemap_packed: derived
-    :class:`PackedAtlas` sampling structures filled by :func:`with_mips`
-    inside a render (never persisted) — the analog of glGenerateMipmap at
-    load (GLWrapper.cpp:343), reorganised for the TPU's gather cost model
-    (see PackedAtlas).  Differentiable: gradients flow through the 2×2 box
-    filter and the quad packing back to the level-0 arrays.
+    atlas2d/cubemap_packed: derived sampling structures filled by
+    :func:`with_mips` inside a render (never persisted) — the analog of
+    glGenerateMipmap at load (GLWrapper.cpp:343), reorganised for the TPU's
+    gather cost model (see PackedAtlas).  ``atlas2d`` is a
+    :class:`SceneAtlas`: ONE PackedAtlas holding every 2D scene texture
+    (spheres, box, ring — all GL_REPEAT), so a bounce step fetches texels
+    for ALL textured hit types in a single pass.  Differentiable: gradients
+    flow through the 2×2 box filter and the quad packing back to the
+    level-0 arrays.
     """
 
     sphere: tuple = ()
     ring: object = None
     box: object = None
     cubemap: object = None
-    sphere_mips: object = None
-    ring_mips: object = None
-    box_mips: object = None
+    atlas2d: object = None
     cubemap_packed: object = None
 
 
 jax.tree_util.register_dataclass(
     TextureSet,
     data_fields=["sphere", "ring", "box", "cubemap",
-                 "sphere_mips", "ring_mips", "box_mips", "cubemap_packed"],
+                 "atlas2d", "cubemap_packed"],
     meta_fields=[],
 )
 
@@ -179,26 +180,46 @@ def build_packed_atlas(textures, wrap="repeat", mips=True):
     )
 
 
+@dataclasses.dataclass
+class SceneAtlas:
+    """One PackedAtlas over every 2D scene texture + the static slot map:
+    sphere texture n occupies slot n−1, then the box texture, then the
+    ring texture (slot = None when absent)."""
+
+    pa: PackedAtlas
+    n_sphere: int
+    box_slot: object = None
+    ring_slot: object = None
+
+
+jax.tree_util.register_dataclass(
+    SceneAtlas,
+    data_fields=["pa"],
+    meta_fields=["n_sphere", "box_slot", "ring_slot"],
+)
+
+
 def with_mips(textures: TextureSet) -> TextureSet:
     """TextureSet with packed sampling atlases built for every texture
     (idempotent).  Runs inside jit at render entry — the glGenerateMipmap
     moment (GLWrapper.cpp:343), re-run per frame so texture gradients flow."""
-    if (
-        textures.sphere_mips is not None
-        or textures.ring_mips is not None
-        or textures.box_mips is not None
-    ):
+    if textures.atlas2d is not None or textures.cubemap_packed is not None:
         return textures
+    texs = list(textures.sphere)
+    n_sphere = len(texs)
+    box_slot = ring_slot = None
+    if textures.box is not None:
+        box_slot = len(texs)
+        texs.append(textures.box)
+    if textures.ring is not None:
+        ring_slot = len(texs)
+        texs.append(textures.ring)
     return dataclasses.replace(
         textures,
-        sphere_mips=(
-            build_packed_atlas(list(textures.sphere)) if textures.sphere else None
-        ),
-        ring_mips=(
-            None if textures.ring is None else build_packed_atlas([textures.ring])
-        ),
-        box_mips=(
-            None if textures.box is None else build_packed_atlas([textures.box])
+        atlas2d=(
+            SceneAtlas(build_packed_atlas(texs), n_sphere, box_slot, ring_slot)
+            if texs
+            else None
         ),
         cubemap_packed=(
             None
@@ -381,14 +402,14 @@ def sample_sphere_texture(textures: TextureSet, tex_num, normal, fw=None, radius
     tuple (callers gate on tex_num != 0, so the 0/out-of-range sample value
     is discarded)."""
     uv = sphere_uv(normal)
-    pa = textures.sphere_mips
-    if pa is not None:
-        k = jnp.clip(tex_num - 1, 0, len(pa.h0) - 1)
+    sa = textures.atlas2d
+    if sa is not None and sa.n_sphere:
+        k = jnp.clip(tex_num - 1, 0, sa.n_sphere - 1)
         lod = None
         if fw is not None:
-            _, h0, w0, _ = _meta(pa, k)
+            _, h0, w0, _ = _meta(sa.pa, k)
             lod = lod_sphere(fw, radius, (h0, w0))
-        return sample_packed(pa, k, uv, lod)
+        return sample_packed(sa.pa, k, uv, lod)
     out = jnp.ones(uv.shape[:-1] + (4,), jnp.float32)
     for i, tex in enumerate(textures.sphere):
         c = sample_bilinear(tex, uv)
@@ -396,24 +417,49 @@ def sample_sphere_texture(textures: TextureSet, tex_num, normal, fw=None, radius
     return out
 
 
-def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat, fw=None):
-    """Triplanar projection weighted by |normal| in the box frame
-    (getBoxTexture, rt.frag:428-436).  NOTE the reference rotates box.pos by
-    the box quat (not pos-relative) — reproduced exactly."""
+def box_face_uv(pt, normal, box_pos, box_quat):
+    """(uv, weight) of the dominant triplanar face.  The slab normal is an
+    exact one-hot in the box frame (rt.frag:422), so the reference's
+    |n|-weighted 3-face blend (rt.frag:428-436) reduces to its single
+    non-zero term — one texture fetch instead of three.  NOTE the reference
+    rotates box.pos by the box quat (not pos-relative) — reproduced
+    exactly."""
     from txr.geometry import quaternion as quat
 
     pos = quat.rotate(box_quat, box_pos)
     p = quat.rotate(box_quat, pt)
     n = quat.rotate(box_quat, normal)
+    rel = p - pos
+    ax, ay, az = jnp.abs(n[..., 0]), jnp.abs(n[..., 1]), jnp.abs(n[..., 2])
+    dom_x = (ax >= ay) & (ax >= az)
+    dom_y = jnp.logical_and(~dom_x, ay >= az)
+    u = jnp.where(dom_x, rel[..., 2], jnp.where(dom_y, rel[..., 2], rel[..., 0]))
+    v = jnp.where(dom_x, rel[..., 1], jnp.where(dom_y, rel[..., 0], rel[..., 1]))
+    uv = 0.5 * jnp.stack([u, v], axis=-1) - 0.5
+    w = jnp.where(dom_x, ax, jnp.where(dom_y, ay, az))
+    return uv, w
+
+
+def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat, fw=None):
+    """getBoxTexture (rt.frag:428-436): dominant-face projection (see
+    box_face_uv)."""
+    sa = textures.atlas2d
     tex = textures.box
-    pa = textures.box_mips
+    if sa is not None and sa.box_slot is not None:
+        uv, w = box_face_uv(pt, normal, box_pos, box_quat)
+        k = jnp.full(uv.shape[:-1], sa.box_slot, jnp.int32)
+        lod = lod_box(fw, tex.shape[:2]) if fw is not None else None
+        return sample_packed(sa.pa, k, uv, lod) * w[..., None]
+
+    # unpacked fallback: the literal 3-face blend
+    from txr.geometry import quaternion as quat
+
+    pos = quat.rotate(box_quat, box_pos)
+    p = quat.rotate(box_quat, pt)
+    n = quat.rotate(box_quat, normal)
 
     def face(axes):
         uv = 0.5 * (p[..., axes] - pos[..., axes]) - 0.5
-        if pa is not None:
-            k = jnp.zeros(uv.shape[:-1], jnp.int32)
-            lod = lod_box(fw, tex.shape[:2]) if fw is not None else None
-            return sample_packed(pa, k, uv, lod)
         return sample_bilinear(tex, uv)
 
     return (
@@ -425,13 +471,13 @@ def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat, fw=N
 
 def sample_ring_texture(textures: TextureSet, uv, fw=None, r1_sq=None, r2_sq=None):
     """texture(texture_ring, uv) (rt.frag:395-397)."""
-    pa = textures.ring_mips
-    if pa is not None:
-        k = jnp.zeros(uv.shape[:-1], jnp.int32)
+    sa = textures.atlas2d
+    if sa is not None and sa.ring_slot is not None:
+        k = jnp.full(uv.shape[:-1], sa.ring_slot, jnp.int32)
         lod = None
         if fw is not None:
             lod = lod_ring(fw, r1_sq, r2_sq, textures.ring.shape[:2])
-        return sample_packed(pa, k, uv, lod)
+        return sample_packed(sa.pa, k, uv, lod)
     return sample_bilinear(textures.ring, uv)
 
 

@@ -162,22 +162,65 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
         if a is not None:
             alpha = jnp.where(sel, a, alpha)
 
+    def gated_fetch(need, fetch):
+        """Texture fetches cost gathers (the scarce resource on TPU); skip
+        the whole fetch when no ray in the batch lands on that textured
+        type this step — the reference pays per-fragment, a masked batch
+        would pay for everyone.  The skip value derives from a varying
+        input (not a fresh constant) so both cond branches carry the same
+        device-varying type under shard_map."""
+        ones = jnp.broadcast_to(jnp.ones_like(t_safe)[..., None], R + (4,))
+        return jax.lax.cond(jnp.any(need), fetch, lambda: ones)
+
+    # -- unified texture request ------------------------------------------
+    # With the SceneAtlas (texture.py), every textured hit type contributes
+    # (slot, uv, lod) per ray and a SINGLE trilinear fetch serves them all:
+    # 2 gathers per step for the whole batch instead of 2 per type.  The
+    # per-type sampler fallbacks below handle unpacked TextureSets.
+    sa = textures.atlas2d
+    if sa is not None:
+        req_k = jnp.zeros(R, jnp.int32)
+        req_u = jnp.zeros(R, dt)
+        req_v = jnp.zeros(R, dt)
+        req_lod = None if pix_angle is None else jnp.zeros(R, dt)
+        req_any = jnp.zeros(R, bool)
+    sphere_textured = box_textured = ring_textured = None
+    box_w = None
+
     if c["spheres"]:
         sp = scene.spheres
         i = jnp.clip(idx, 0, c["spheres"] - 1)
         sel = ty == TYPE_SPHERE
         n = gi.sphere_normal(pt, small_take(sp.pos, i))
         col, a = None, None
-        if len(textures.sphere):
+        if sa is not None and sa.n_sphere:
             tex_num = small_take(sp.texture, i)
             radius = small_take(sp.radius, i)
+            sphere_textured = sel & (tex_num > 0)
+            k = jnp.clip(tex_num - 1, 0, sa.n_sphere - 1)
             # getSphereTexture rotates the normal by the sphere quat first
             # (rt.frag:320-322)
-            texc = tx.sample_sphere_texture(
-                textures, tex_num, quat.rotate(small_take(sp.quat, i), n),
-                fw_of(n), radius,
-            )
+            uvs = tx.sphere_uv(quat.rotate(small_take(sp.quat, i), n))
+            req_k = jnp.where(sphere_textured, k, req_k)
+            req_u = jnp.where(sphere_textured, uvs[..., 0], req_u)
+            req_v = jnp.where(sphere_textured, uvs[..., 1], req_v)
+            if req_lod is not None:
+                _, h0, w0, _ = tx._meta(sa.pa, k)
+                lod = tx.lod_sphere(fw_of(n), radius, (h0, w0))
+                req_lod = jnp.where(sphere_textured, lod, req_lod)
+            req_any = req_any | sphere_textured
+        elif len(textures.sphere):
+            tex_num = small_take(sp.texture, i)
+            radius = small_take(sp.radius, i)
             textured = tex_num > 0
+
+            def fetch_sphere(n=n, tex_num=tex_num, radius=radius):
+                return tx.sample_sphere_texture(
+                    textures, tex_num, quat.rotate(small_take(sp.quat, i), n),
+                    fw_of(n), radius,
+                )
+
+            texc = gated_fetch(sel & textured, fetch_sphere)
             col = jnp.where(textured[..., None], texc[..., :3],
                             small_take(sp.mat.color, i))
             a = jnp.where(textured, texc[..., 3], 1.0)
@@ -205,9 +248,24 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
         bquat = small_take(bx.quat, i)
         n = gi.box_normal(ro, rd, bpos, bquat, small_take(bx.form, i))
         col = None
-        if textures.box is not None:
-            texc = tx.sample_box_texture(textures, pt, n, bpos, bquat, fw_of(n))
-            col = jnp.where((small_take(bx.texture, i) > 0)[..., None],
+        if sa is not None and sa.box_slot is not None:
+            box_textured = sel & (small_take(bx.texture, i) > 0)
+            uvb, box_w = tx.box_face_uv(pt, n, bpos, bquat)
+            req_k = jnp.where(box_textured, sa.box_slot, req_k)
+            req_u = jnp.where(box_textured, uvb[..., 0], req_u)
+            req_v = jnp.where(box_textured, uvb[..., 1], req_v)
+            if req_lod is not None:
+                lod = tx.lod_box(fw_of(n), textures.box.shape[:2])
+                req_lod = jnp.where(box_textured, lod, req_lod)
+            req_any = req_any | box_textured
+        elif textures.box is not None:
+            textured = small_take(bx.texture, i) > 0
+
+            def fetch_box(n=n, bpos=bpos, bquat=bquat):
+                return tx.sample_box_texture(textures, pt, n, bpos, bquat, fw_of(n))
+
+            texc = gated_fetch(sel & textured, fetch_box)
+            col = jnp.where(textured[..., None],
                             texc[..., :3], small_take(bx.mat.color, i))
         blend(sel, bx.mat, i, n, None, col)
 
@@ -225,16 +283,53 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
         rquat = small_take(ri.quat, i)
         n = gi.ring_normal(rquat)
         col, a = None, None
-        if textures.ring is not None:
+        if sa is not None and sa.ring_slot is not None:
             r1 = small_take(ri.r1, i)
             r2 = small_take(ri.r2, i)
-            uv = gi.ring_uv(ro, rd, t_safe, small_take(ri.pos, i), rquat, r1, r2)
-            texc = tx.sample_ring_texture(textures, uv, fw_of(n), r1, r2)
+            ring_textured = sel & (small_take(ri.texture, i) > 0)
+            uvr = gi.ring_uv(ro, rd, t_safe, small_take(ri.pos, i), rquat, r1, r2)
+            req_k = jnp.where(ring_textured, sa.ring_slot, req_k)
+            req_u = jnp.where(ring_textured, uvr[..., 0], req_u)
+            req_v = jnp.where(ring_textured, uvr[..., 1], req_v)
+            if req_lod is not None:
+                lod = tx.lod_ring(fw_of(n), r1, r2, textures.ring.shape[:2])
+                req_lod = jnp.where(ring_textured, lod, req_lod)
+            req_any = req_any | ring_textured
+        elif textures.ring is not None:
+            r1 = small_take(ri.r1, i)
+            r2 = small_take(ri.r2, i)
             textured = small_take(ri.texture, i) > 0
+
+            def fetch_ring(n=n, rquat=rquat, r1=r1, r2=r2):
+                uv = gi.ring_uv(ro, rd, t_safe, small_take(ri.pos, i), rquat, r1, r2)
+                return tx.sample_ring_texture(textures, uv, fw_of(n), r1, r2)
+
+            texc = gated_fetch(sel & textured, fetch_ring)
             col = jnp.where(textured[..., None], texc[..., :3],
                             small_take(ri.mat.color, i))
             a = jnp.where(textured, texc[..., 3], 1.0)
         blend(sel, ri.mat, i, n, a, col)
+
+    # -- the single unified fetch (then per-type colour/alpha overrides) ----
+    if sa is not None and (
+        sphere_textured is not None
+        or box_textured is not None
+        or ring_textured is not None
+    ):
+        uv = jnp.stack([req_u, req_v], axis=-1)
+        texc = gated_fetch(
+            req_any, lambda: tx.sample_packed(sa.pa, req_k, uv, req_lod)
+        )
+        if sphere_textured is not None:
+            color = jnp.where(sphere_textured[..., None], texc[..., :3], color)
+            alpha = jnp.where(sphere_textured, texc[..., 3], alpha)
+        if box_textured is not None:
+            color = jnp.where(
+                box_textured[..., None], texc[..., :3] * box_w[..., None], color
+            )
+        if ring_textured is not None:
+            color = jnp.where(ring_textured[..., None], texc[..., :3], color)
+            alpha = jnp.where(ring_textured, texc[..., 3], alpha)
 
     bias = (9e-3 * t_safe + 35.0) / 35e3  # rt.frag:780-782
 
@@ -330,10 +425,18 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         hit = jnp.isfinite(t)
         act = alive & hit
 
-        # -- miss → environment (rt.frag:892-895)
+        # -- miss → environment (rt.frag:892-895); the cubemap fetch is a
+        # gather, so skip it on steps where no ray misses
         miss = alive & ~hit
-        color = jnp.where(
-            miss[..., None], color + _background(scene, textures, rd) * mask, color
+        color = jax.lax.cond(
+            jnp.any(miss),
+            lambda color: jnp.where(
+                miss[..., None],
+                color + _background(scene, textures, rd) * mask,
+                color,
+            ),
+            lambda color: color,
+            color,
         )
         alive = alive & hit
 
