@@ -1,0 +1,141 @@
+"""Scaling-efficiency harness: sharded render throughput at 1..N devices.
+
+Writes one JSON line (and SCALING.json when --out is given):
+  {"devices": [...], "rays_per_s": [...], "efficiency": ..., "platform": ...}
+
+BASELINE.md target: ≥85% rays/s scaling efficiency from 1 device to N.
+On a real multi-chip slice this measures ICI-scaled throughput; on a
+single-host checkout it still runs end-to-end against the virtual CPU mesh
+(JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8),
+which validates the sharding path and the harness itself — virtual devices
+share the same cores, so CPU "efficiency" is reported but only the real-
+chip number is meaningful (the platform field says which you got).
+
+Methodology matches bench.py: K chained frames inside one jit, scalar
+readback (see bench.py module doc for why).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+CALL_LATENCY_S = 0.024
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--chain", type=int, default=2)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    import functools
+
+    from txr.apps.demo import build_scene, demo_textures
+    from txr.render.trace import RenderConfig, trace
+    from txr.render.raygen import primary_rays
+    from txr.render.texture import with_mips
+    from txr.dist.mesh import make_mesh
+
+    devices = jax.devices()
+    platform = devices[0].platform
+    on_tpu = platform != "cpu"
+    W = args.width or (1920 if on_tpu else 192)
+    H = args.height or (1080 if on_tpu else 108)
+    K = args.chain
+
+    scene, _ = build_scene(W, H)
+    textures = demo_textures()
+    cfg = RenderConfig(width=W, height=H, iterations=5)
+    n_rays = W * H
+
+    sizes = []
+    d = 1
+    while d <= len(devices):
+        sizes.append(d)
+        d *= 2
+
+    rates = []
+    for nd in sizes:
+        mesh = make_mesh((nd,), axis_names=("dp",), devices=devices[:nd])
+        spec = P("dp")
+
+        ro, rd = primary_rays(scene.camera, W, H, 1)
+        pad = (-n_rays) % nd
+        if pad:
+            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))])
+            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
+
+        @jax.jit
+        def chain(scene, textures, ro, rd):
+            tex = with_mips(textures)
+
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(), P(), spec, spec), out_specs=P(),
+            )
+            def frame(scene, tex, ro, rd):
+                color = trace(scene, tex, cfg, ro, rd)
+                return jax.lax.psum(jnp.sum(color), "dp")
+
+            acc = jnp.float32(0.0)
+            for _ in range(K):
+                s = dataclasses.replace(
+                    scene, camera=dataclasses.replace(
+                        scene.camera, pos=scene.camera.pos + acc * 1e-30
+                    )
+                )
+                acc = acc + frame(s, tex, ro, rd)
+            return acc
+
+        v = float(np.asarray(chain(scene, textures, ro, rd)))
+        assert np.isfinite(v)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _ = np.asarray(chain(scene, textures, ro, rd))
+            ts.append(time.perf_counter() - t0)
+        t = max(min(ts) - CALL_LATENCY_S, 1e-9) / K
+        rate = n_rays / t
+        rates.append(rate)
+        print(f"# {nd} device(s): {t*1e3:8.1f} ms/frame = {rate/1e6:7.2f} Mrays/s",
+              file=sys.stderr)
+
+    eff = None
+    if len(rates) > 1:
+        nd0, nd1 = sizes[0], sizes[-1]
+        eff = (rates[-1] / rates[0]) / (nd1 / nd0)
+
+    result = {
+        "metric": "sharded render scaling (demo scene)",
+        "resolution": f"{W}x{H}",
+        "devices": sizes,
+        "rays_per_s": [round(r) for r in rates],
+        "efficiency_1_to_N": None if eff is None else round(eff, 4),
+        "platform": platform,
+        "note": (
+            "virtual CPU mesh shares physical cores; efficiency is only "
+            "meaningful on real chips" if not on_tpu else
+            "real-chip ICI scaling"
+        ),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
