@@ -103,12 +103,30 @@ def optimize_scene(
     loss_kind="l2",
     optimizer=None,
     callback=None,
+    checkpoint_path=None,
+    checkpoint_every=0,
+    resume=False,
+    param_transform=None,
 ):
     """Gradient-descend scene parameters toward a target image.
 
     Returns (optimised scene, list of loss values).  ``param_paths`` limits
     which leaves move (default: all float leaves).
-    """
+
+    ``param_transform``: optional {path: fn} applied to a parameter before
+    it enters the scene (the stored parameter stays unconstrained).  The
+    standard use is quaternion normalisation — the reference's rotate()
+    uses the conjugate, not the inverse (rt.frag:305-311), so a non-unit
+    quat scales the rotation; optimising through a normalise keeps descent
+    on the rotation manifold.  e.g. {"camera.quat": lambda q: q /
+    jnp.linalg.norm(q)}.
+
+    Failure recovery (SURVEY §5): with ``checkpoint_path`` +
+    ``checkpoint_every=k``, the params, optimiser state, step counter, and
+    loss history are written every k steps; ``resume=True`` restarts from
+    the file (if present) and continues to ``steps`` total — a resumed run
+    is bit-identical to an uninterrupted one (the renderer and optax are
+    deterministic and the .npz round-trip is exact)."""
     if optax is None:
         raise RuntimeError("optax not available")
     opt = optimizer or optax.adam(lr)
@@ -129,6 +147,10 @@ def optimize_scene(
     def rebuild(params):
         merged = dict(flat)
         merged.update(params)
+        if param_transform:
+            for path, fn in param_transform.items():
+                if path in merged:
+                    merged[path] = fn(merged[path])
         return _unflatten_like(scene, merged)
 
     def loss_fn(params):
@@ -143,9 +165,42 @@ def optimize_scene(
 
     opt_state = opt.init(params)
     losses = []
-    for i in range(steps):
+    start = 0
+
+    if checkpoint_path:
+        import os
+
+        from txr.utils.checkpoint import restore_state, save_state
+
+        if resume and os.path.exists(checkpoint_path):
+            template = {
+                "params": params,
+                "opt_state": opt_state,
+                "step": np.int64(0),
+                "losses": np.zeros(0, np.float64),
+            }
+            st = restore_state(checkpoint_path, template)
+            params, opt_state = st["params"], st["opt_state"]
+            start = int(st["step"])
+            losses = [float(v) for v in np.asarray(st["losses"])]
+
+    for i in range(start, steps):
         params, opt_state, val = step(params, opt_state)
         losses.append(float(val))
         if callback:
             callback(i, rebuild(params), float(val))
+        if (
+            checkpoint_path
+            and checkpoint_every
+            and ((i + 1) % checkpoint_every == 0 or i + 1 == steps)
+        ):
+            save_state(
+                checkpoint_path,
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "step": np.int64(i + 1),
+                    "losses": np.asarray(losses, np.float64),
+                },
+            )
     return rebuild(params), losses

@@ -59,30 +59,64 @@ def load_arrays(path):
     return arrays, set(meta.get("none_keys", []))
 
 
+def rebuild_tree(arrays, template, prefix=""):
+    """Type-preserving inverse of _flatten: rebuild ``template``'s pytree
+    structure (dataclasses, namedtuples — e.g. optax states — tuples,
+    lists, dicts) with array values from ``arrays``."""
+    if dataclasses.is_dataclass(template):
+        kw = {
+            f.name: rebuild_tree(arrays, getattr(template, f.name),
+                                 f"{prefix}{f.name}.")
+            for f in dataclasses.fields(template)
+        }
+        return dataclasses.replace(template, **kw)
+    if isinstance(template, tuple) and hasattr(template, "_fields"):  # NamedTuple
+        return type(template)(
+            *(rebuild_tree(arrays, v, f"{prefix}{i}.")
+              for i, v in enumerate(template))
+        )
+    if isinstance(template, (tuple, list)):
+        vals = [
+            rebuild_tree(arrays, v, f"{prefix}{i}.") for i, v in enumerate(template)
+        ]
+        return type(template)(vals)
+    if isinstance(template, dict):
+        return {
+            k: rebuild_tree(arrays, template[k], f"{prefix}{k}.")
+            for k in sorted(template)
+        }
+    if template is None:
+        return None
+    key = prefix[:-1]
+    arr = arrays[key]
+    return jnp.asarray(arr, dtype=jnp.asarray(template).dtype)
+
+
+def save_state(path, state):
+    """Checkpoint an arbitrary pytree ``state`` (e.g. {"params": ...,
+    "opt_state": ..., "step": ...}) to ``path`` (.npz)."""
+    flat = _flatten(state)
+    arrays = {k: v for k, v in flat.items() if v is not None}
+    meta = {"none_keys": [k for k, v in flat.items() if v is None]}
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    return path
+
+
+def restore_state(path, template):
+    """Inverse of save_state: rebuild ``template``'s structure with values
+    from the checkpoint."""
+    arrays, _ = load_arrays(path)
+    return rebuild_tree(arrays, template)
+
+
 def restore_scene(path, scene_template, textures_template=None):
     """Rebuild (scene, textures) from a checkpoint using templates for the
     pytree structure (the 'topology'); array values come from the file."""
     arrays, _ = load_arrays(path)
-
-    def rebuild(template, prefix):
-        if dataclasses.is_dataclass(template):
-            kw = {
-                f.name: rebuild(getattr(template, f.name), f"{prefix}{f.name}.")
-                for f in dataclasses.fields(template)
-            }
-            return dataclasses.replace(template, **kw)
-        if isinstance(template, tuple):
-            return tuple(
-                rebuild(v, f"{prefix}{i}.") for i, v in enumerate(template)
-            )
-        if template is None:
-            return None
-        key = prefix[:-1]
-        arr = arrays[key]
-        return jnp.asarray(arr, dtype=jnp.asarray(template).dtype)
-
-    scene = rebuild(scene_template, "scene.")
+    scene = rebuild_tree(arrays, scene_template, "scene.")
     textures = (
-        rebuild(textures_template, "tex.") if textures_template is not None else None
+        rebuild_tree(arrays, textures_template, "tex.")
+        if textures_template is not None
+        else None
     )
     return scene, textures
