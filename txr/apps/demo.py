@@ -90,16 +90,70 @@ def _starfield_cubemap(size=256, density=4e-4, seed=3):
     return jnp.asarray(cm)
 
 
-def demo_textures():
+def _find_asset(asset_dir, name):
+    import os
+
+    for ext in ("png", "jpg", "jpeg", "bmp"):
+        p = os.path.join(asset_dir, f"{name}.{ext}")
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def demo_textures(asset_dir=None):
+    """The demo texture set.  The reference loads 5 JPEGs + a 6-face JPEG
+    cubemap from disk (main.cpp:137-153, GLWrapper.cpp:284-354); TXR does
+    the same when ``asset_dir`` is given (files jupiter/saturn/mars/ring/
+    box.{png,jpg,...} and cubemap_{px,nx,py,ny,pz,nz}.*, any mix), and
+    generates procedural equivalents for anything missing so the demo is
+    always self-contained."""
+    procedural = {
+        "jupiter": lambda: _banded_planet(512, 1024, 9, (0.80, 0.64, 0.48),
+                                          (0.55, 0.38, 0.28), 1),
+        "saturn": lambda: _banded_planet(512, 1024, 6, (0.85, 0.76, 0.55),
+                                         (0.70, 0.60, 0.42), 2),
+        "mars": lambda: _banded_planet(256, 512, 2, (0.72, 0.35, 0.20),
+                                       (0.48, 0.22, 0.14), 3),
+        "ring": lambda: _ring_texture(64, 1024),
+        "box": lambda: _crate_texture(256, 256),
+    }
+
+    def tex(name):
+        if asset_dir:
+            p = _find_asset(asset_dir, name)
+            if p:
+                from txr.utils.image import load_image
+
+                return jnp.asarray(load_image(p))
+        return procedural[name]()
+
+    cubemap = None
+    if asset_dir:
+        faces = [_find_asset(asset_dir, f"cubemap_{f}")
+                 for f in ("px", "nx", "py", "ny", "pz", "nz")]
+        if all(faces):
+            from txr.utils.image import load_image
+
+            imgs = [load_image(p) for p in faces]
+            side = max(i.shape[0] for i in imgs)
+            if any(i.shape[:2] != (side, side) for i in imgs):
+                from PIL import Image
+
+                imgs = [
+                    np.asarray(
+                        Image.fromarray((i * 255).astype(np.uint8)).resize((side, side))
+                    ).astype(np.float32) / 255.0
+                    for i in imgs
+                ]
+            cubemap = jnp.asarray(np.stack(imgs))
+    if cubemap is None:
+        cubemap = _starfield_cubemap()
+
     return TextureSet(
-        sphere=(
-            _banded_planet(512, 1024, 9, (0.80, 0.64, 0.48), (0.55, 0.38, 0.28), 1),  # jupiter
-            _banded_planet(512, 1024, 6, (0.85, 0.76, 0.55), (0.70, 0.60, 0.42), 2),  # saturn
-            _banded_planet(256, 512, 2, (0.72, 0.35, 0.20), (0.48, 0.22, 0.14), 3),   # mars
-        ),
-        ring=_ring_texture(64, 1024),
-        box=_crate_texture(256, 256),
-        cubemap=_starfield_cubemap(),
+        sphere=(tex("jupiter"), tex("saturn"), tex("mars")),
+        ring=tex("ring"),
+        box=tex("box"),
+        cubemap=cubemap,
     )
 
 
@@ -233,6 +287,27 @@ def update_scene(scene, handles: DemoHandles, dt, t):
     )
 
 
+def parse_flight(script):
+    """Flight script → list of per-frame (keys, dx, dy).
+
+    Comma-separated segments ``<keys>:<frames>[:<dx>:<dy>]`` — keys is any
+    subset of ``wasd`` plus ``_`` for none, dx/dy is a per-frame mouse-look
+    delta in the reference's pixel units (sensitivity 0.05°/px,
+    SceneManager.cpp:124).  e.g. ``w:30, wd:20:4:0, _:15:0:-2``."""
+    frames = []
+    for seg in script.split(","):
+        seg = seg.strip()
+        if not seg:
+            continue
+        parts = seg.split(":")
+        keys = parts[0].replace("_", "")
+        n = int(parts[1])
+        dx = float(parts[2]) if len(parts) > 2 else 0.0
+        dy = float(parts[3]) if len(parts) > 3 else 0.0
+        frames += [(keys, dx, dy)] * n
+    return frames
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="TXR solar-system demo")
     p.add_argument("--width", type=int, default=640)
@@ -245,21 +320,55 @@ def main(argv=None):
                    default=None,
                    help="quality preset (reference SMAA presets → SSAA factor);"
                         " overrides --supersample")
-    p.add_argument("--iterations", type=int, default=5)
-    p.add_argument("--out", default="/tmp/txr_demo.png")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="bounce depth (default: the scene's reflect_depth, 5)")
+    p.add_argument("--out", default="/tmp/txr_demo.png",
+                   help=".png (last frame) or .gif (all frames animated)")
+    p.add_argument("--frames-dir", default=None,
+                   help="also dump every frame as PNG into this directory")
+    p.add_argument("--assets", default=None,
+                   help="directory of texture files (jupiter/saturn/mars/"
+                        "ring/box.*, cubemap_{px,nx,py,ny,pz,nz}.*); "
+                        "missing ones fall back to procedural")
+    p.add_argument("--fly", default=None,
+                   help="FlyCamera flight script, e.g. 'w:30, wd:20:4:0' "
+                        "(see parse_flight)")
     args = p.parse_args(argv)
 
     scene, handles = build_scene(args.width, args.height)
-    textures = demo_textures()
+    textures = demo_textures(args.assets)
+    iters = args.iterations if args.iterations is not None else scene.reflect_depth
     cfg = RenderConfig(width=args.width, height=args.height,
-                       iterations=args.iterations, supersample=args.supersample)
+                       iterations=iters, supersample=args.supersample)
     if args.aa:
         cfg = cfg.with_aa_preset(args.aa)
 
+    flight = parse_flight(args.fly) if args.fly else None
+    cam = None
+    if flight:
+        from txr.scene.camera import FlyCamera
+
+        cam = FlyCamera(position=tuple(np.asarray(scene.camera.pos)))
+
+    if args.frames_dir:
+        import os
+
+        os.makedirs(args.frames_dir, exist_ok=True)
+
+    gif_frames = []
+    want_gif = args.out.lower().endswith(".gif")
     t = args.t0
     last = time.perf_counter()
     for frame in range(args.frames):
         animated = update_scene(scene, handles, args.dt, t)
+        if cam is not None:
+            keys, dx, dy = flight[min(frame, len(flight) - 1)]
+            for k in "wasd":
+                cam.key(k, k in keys)
+            if dx or dy:
+                cam.mouse(dx, dy)
+            cam.update(args.dt)
+            animated = cam.apply(animated)
         img = render_jit(animated, textures, cfg)
         img.block_until_ready()
         now = time.perf_counter()
@@ -269,10 +378,26 @@ def main(argv=None):
               f"({args.width * args.height * cfg.supersample**2 * fps:,.0f} rays/s)")
         t += args.dt
 
+        if want_gif or args.frames_dir:
+            from txr.utils.image import to_uint8
+
+            u8 = to_uint8(np.array(img))
+            if want_gif:
+                gif_frames.append(u8)
+            if args.frames_dir:
+                from txr.utils.image import save_png
+
+                save_png(f"{args.frames_dir}/frame_{frame:05d}.png", u8)
+
     from PIL import Image
 
-    out = np.clip(np.array(img), 0.0, 1.0)
-    Image.fromarray((out * 255).astype(np.uint8)).save(args.out)
+    if want_gif:
+        imgs = [Image.fromarray(f) for f in gif_frames]
+        imgs[0].save(args.out, save_all=True, append_images=imgs[1:],
+                     duration=max(int(args.dt * 1000), 20), loop=0)
+    else:
+        out = np.clip(np.array(img), 0.0, 1.0)
+        Image.fromarray((out * 255).astype(np.uint8)).save(args.out)
     print(f"wrote {args.out}")
 
 

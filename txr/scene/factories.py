@@ -196,4 +196,5 @@ class SceneBuilder:
                 direction=f32("direction", ld, (3,)), color=f32("color", ld, (3,)),
                 intensity=f32("intensity", ld),
             ),
+            reflect_depth=self.reflect_depth,
         )

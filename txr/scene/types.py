@@ -34,13 +34,22 @@ TYPE_RING = 5
 TYPE_POINT_LIGHT = 6
 
 
-def _pytree(cls):
-    """Register a dataclass whose fields are all array leaves."""
-    cls = dataclasses.dataclass(cls)
-    jax.tree_util.register_dataclass(
-        cls, data_fields=[f.name for f in dataclasses.fields(cls)], meta_fields=[]
-    )
-    return cls
+def _pytree(cls=None, *, meta=()):
+    """Register a dataclass whose fields are array leaves, except the named
+    ``meta`` fields (static, hashable — the topology side of the
+    defines-vs-UBO split)."""
+
+    def wrap(cls):
+        cls = dataclasses.dataclass(cls)
+        names = [f.name for f in dataclasses.fields(cls)]
+        jax.tree_util.register_dataclass(
+            cls,
+            data_fields=[n for n in names if n not in meta],
+            meta_fields=list(meta),
+        )
+        return cls
+
+    return wrap(cls) if cls is not None else wrap
 
 
 def _f32(x):
@@ -176,7 +185,7 @@ class Camera:
     quat: jnp.ndarray       # [4] camera->world rotation (rt.frag:313-317)
 
 
-@_pytree
+@_pytree(meta=("reflect_depth",))
 class Scene:
     """The full differentiable scene pytree — the reference's
     `scene_container` (scene.h:128-154) as stacked arrays.
@@ -198,6 +207,10 @@ class Scene:
     rings: Rings
     lights_point: PointLights
     lights_direct: DirectLights
+    # authored bounce budget (scene.h:125 reflect_depth -> the ITERATIONS
+    # template define, SceneManager.cpp:233).  Static metadata: apps seed
+    # RenderConfig.iterations from it.
+    reflect_depth: int = 5
 
     @property
     def counts(self):

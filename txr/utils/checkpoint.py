@@ -89,6 +89,8 @@ def rebuild_tree(arrays, template, prefix=""):
         return None
     key = prefix[:-1]
     arr = arrays[key]
+    if isinstance(template, (bool, int, float, str)):  # static python scalars
+        return type(template)(arr)
     return jnp.asarray(arr, dtype=jnp.asarray(template).dtype)
 
 
