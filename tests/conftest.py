@@ -17,6 +17,9 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeat test runs skip recompiles entirely
+jax.config.update("jax_compilation_cache_dir", "/tmp/txr_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest

@@ -61,8 +61,7 @@ def pixel_loss(scene, px):
 
 
 def oracle_loss(scene, px):
-    img = render_oracle(scene, TEX, CFG)
-    return float(img[px[0], px[1]].sum())
+    return float(render_oracle(scene, TEX, CFG, pixels=[px])[0].sum())
 
 
 def replace_leaf(scene, path, value):

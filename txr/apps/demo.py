@@ -333,7 +333,16 @@ def main(argv=None):
     p.add_argument("--fly", default=None,
                    help="FlyCamera flight script, e.g. 'w:30, wd:20:4:0' "
                         "(see parse_flight)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans/_infs sanitizers (slow)")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="dump a jax.profiler xplane trace of the frame loop")
     args = p.parse_args(argv)
+
+    if args.debug_nans:
+        from txr.utils.debug import enable_nan_checks
+
+        enable_nan_checks()
 
     scene, handles = build_scene(args.width, args.height)
     textures = demo_textures(args.assets)
@@ -359,6 +368,14 @@ def main(argv=None):
     want_gif = args.out.lower().endswith(".gif")
     t = args.t0
     last = time.perf_counter()
+
+    profile_cm = None
+    if args.profile:
+        from txr.utils.profiling import profile_trace
+
+        profile_cm = profile_trace(args.profile)
+        profile_cm.__enter__()
+
     for frame in range(args.frames):
         animated = update_scene(scene, handles, args.dt, t)
         if cam is not None:
@@ -388,6 +405,10 @@ def main(argv=None):
                 from txr.utils.image import save_png
 
                 save_png(f"{args.frames_dir}/frame_{frame:05d}.png", u8)
+
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+        print(f"profile trace in {args.profile}")
 
     from PIL import Image
 

@@ -107,6 +107,7 @@ def optimize_scene(
     checkpoint_every=0,
     resume=False,
     param_transform=None,
+    metrics_path=None,
 ):
     """Gradient-descend scene parameters toward a target image.
 
@@ -159,9 +160,10 @@ def optimize_scene(
     @jax.jit
     def step(params, opt_state):
         val, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, val
+        return params, opt_state, val, gnorm
 
     opt_state = opt.init(params)
     losses = []
@@ -184,11 +186,33 @@ def optimize_scene(
             start = int(st["step"])
             losses = [float(v) for v in np.asarray(st["losses"])]
 
+    import time
+
+    n_rays = cfg.width * cfg.height * cfg.supersample ** 2
+    metrics_f = open(metrics_path, "a") if metrics_path else None
     for i in range(start, steps):
-        params, opt_state, val = step(params, opt_state)
-        losses.append(float(val))
+        t0 = time.perf_counter()
+        params, opt_state, val, gnorm = step(params, opt_state)
+        val = float(val)
+        losses.append(val)
+        if metrics_f is not None:
+            # float(val) above already fenced the step, so wall_s is real.
+            # One structured record per step (SURVEY §5 metrics/
+            # observability; the reference has only the FPS print,
+            # main.cpp:169-174).
+            wall = time.perf_counter() - t0
+            import json
+
+            metrics_f.write(json.dumps({
+                "step": i,
+                "loss": val,
+                "grad_norm": float(gnorm),
+                "wall_s": round(wall, 5),
+                "rays_per_s": round(n_rays / max(wall, 1e-9)),
+            }) + "\n")
+            metrics_f.flush()
         if callback:
-            callback(i, rebuild(params), float(val))
+            callback(i, rebuild(params), val)
         if (
             checkpoint_path
             and checkpoint_every
@@ -203,4 +227,6 @@ def optimize_scene(
                     "losses": np.asarray(losses, np.float64),
                 },
             )
+    if metrics_f is not None:
+        metrics_f.close()
     return rebuild(params), losses

@@ -142,6 +142,8 @@ def _scene_specs(scene: Scene, axis: str):
 
     out = {}
     for f in dataclasses.fields(scene):
+        if f.name == "reflect_depth":
+            continue  # static pytree metadata, not a shardable leaf
         v = getattr(scene, f.name)
         if f.name in sharded_fields:
             out[f.name] = spec_group(v)

@@ -720,24 +720,43 @@ def _trace_pixel(S: OracleScene, ro, rd):
     return color
 
 
-def render_oracle(scene, textures, cfg):
+def render_oracle(scene, textures, cfg, pixels=None):
     """Render with the float64 oracle → [H, W, 3] float64 (row 0 = top).
-    Slow (pure python per pixel) — use small images in tests."""
+    Slow (pure python per pixel) — use small images in tests.
+
+    ``pixels``: optional list of (row, col) — render ONLY those pixels
+    (incl. their supersamples) and return [len(pixels), 3].  The
+    finite-difference gradient tests evaluate single interior pixels, so
+    this cuts their oracle cost by the full image area."""
     S = OracleScene(scene, textures, cfg)
     ss = cfg.supersample
     H, W = cfg.height, cfg.width
+
+    def sample(row, col):
+        gl_y = H - (row + 0.5) / ss
+        gl_x = (col + 0.5) / ss
+        d = np.array([
+            (gl_x - W / 2.0) / H,
+            (gl_y - H / 2.0) / H,
+            1.0,
+        ])
+        rd = _nrm(_rot(S.cam_quat, d))
+        return _trace_pixel(S, S.cam_pos.copy(), rd)
+
+    if pixels is not None:
+        out = np.zeros((len(pixels), 3))
+        for k, (prow, pcol) in enumerate(pixels):
+            acc = np.zeros(3)
+            for sy in range(ss):
+                for sx in range(ss):
+                    acc += sample(prow * ss + sy, pcol * ss + sx)
+            out[k] = acc / (ss * ss)
+        return out
+
     img = np.zeros((H * ss, W * ss, 3))
     for row in range(H * ss):
-        gl_y = H - (row + 0.5) / ss
         for col in range(W * ss):
-            gl_x = (col + 0.5) / ss
-            d = np.array([
-                (gl_x - W / 2.0) / H,
-                (gl_y - H / 2.0) / H,
-                1.0,
-            ])
-            rd = _nrm(_rot(S.cam_quat, d))
-            img[row, col] = _trace_pixel(S, S.cam_pos.copy(), rd)
+            img[row, col] = sample(row, col)
     if ss > 1:
         img = img.reshape(H, ss, W, ss, 3).mean(axis=(1, 3))
     return img
