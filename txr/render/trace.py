@@ -83,6 +83,12 @@ class RenderConfig:
     # replacement for the reference's fwidth→textureLod path
     # (rt.frag:319-340) and load-time glGenerateMipmap (GLWrapper.cpp:343).
     texture_lod: bool = True
+    # Dead-work gating: wrap the per-step body, the glossy pass, the miss
+    # cubemap fetch, and every texture fetch in lax.cond on "any ray needs
+    # it".  Saves most of the frame on real scenes (sky chunks, refraction
+    # tail steps); turn off to get the lean straight-line program (smaller
+    # HLO, faster XLA compile) for compile-time-sensitive contexts.
+    gating: bool = True
     # Static switch for the refractive-glossy extra pass
     # (getReflectedColor, rt.frag:787-802).  It costs a full nearest-hit +
     # shade per bounce, so scenes with no refractive+reflective material
@@ -108,7 +114,7 @@ class RenderConfig:
 AA_PRESETS = {"off": 1, "low": 1, "medium": 2, "high": 3, "ultra": 4}
 
 
-def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
+def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True):
     """get_hit_info (rt.frag:744-784): per-ray normal, material (with
     texturing applied to the colour), alpha, and the distance-scaled
     shadow-acne bias.
@@ -169,6 +175,8 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None):
         would pay for everyone.  The skip value derives from a varying
         input (not a fresh constant) so both cond branches carry the same
         device-varying type under shard_map."""
+        if not gate:
+            return fetch()
         ones = jnp.broadcast_to(jnp.ones_like(t_safe)[..., None], R + (4,))
         return jax.lax.cond(jnp.any(need), fetch, lambda: ones)
 
@@ -367,7 +375,8 @@ def _reflected_color(scene, textures, cfg, ro, rd):
     """getReflectedColor (rt.frag:787-802): ONE extra nearest-hit + shade
     for the glossy component of refractive surfaces (not recursive)."""
     t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside, cfg.backend)
-    hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg))
+    hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg),
+                  gate=cfg.gating)
     is_light = ty == TYPE_POINT_LIGHT
     hit = jnp.isfinite(t) & (ty >= 0) & ~is_light
 
@@ -428,16 +437,18 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         # -- miss → environment (rt.frag:892-895); the cubemap fetch is a
         # gather, so skip it on steps where no ray misses
         miss = alive & ~hit
-        color = jax.lax.cond(
-            jnp.any(miss),
-            lambda color: jnp.where(
+
+        def miss_pass(color):
+            return jnp.where(
                 miss[..., None],
                 color + _background(scene, textures, rd) * mask,
                 color,
-            ),
-            lambda color: color,
-            color,
-        )
+            )
+
+        if cfg.gating:
+            color = jax.lax.cond(jnp.any(miss), miss_pass, lambda c: c, color)
+        else:
+            color = miss_pass(color)
         alive = alive & hit
 
         # -- light bulb hit (rt.frag:829-832)
@@ -451,7 +462,8 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
             alive = alive & ~is_light
             act = act & ~is_light
 
-        hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg))
+        hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg),
+                      gate=cfg.gating)
         n = hi["normal"]
         outside = jnp.sum(rd * n, axis=-1) < 0.0     # rt.frag:837
         n = jnp.where(outside[..., None], n, -n)
@@ -500,9 +512,12 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
                 )
                 return color, mask
 
-            color, mask = jax.lax.cond(
-                jnp.any(glossy), glossy_pass, lambda cm: cm, (color, mask)
-            )
+            if cfg.gating:
+                color, mask = jax.lax.cond(
+                    jnp.any(glossy), glossy_pass, lambda cm: cm, (color, mask)
+                )
+            else:
+                color, mask = glossy_pass((color, mask))
 
         inside = refr_act & ~outside
         absorb_dist = jnp.where(inside, absorb_dist + t, absorb_dist)
@@ -570,7 +585,12 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         # is dead (the common case for the refraction-budget tail steps and
         # for sky-dominated ray chunks).  body() is a bit-exact identity on
         # a dead batch, so the gate never changes the image.
-        st2 = jax.lax.cond(jnp.any(st["alive"]), lambda s: body(0, s), lambda s: s, st)
+        if cfg.gating:
+            st2 = jax.lax.cond(
+                jnp.any(st["alive"]), lambda s: body(0, s), lambda s: s, st
+            )
+        else:
+            st2 = body(0, st)
         return st2, None
 
     if cfg.remat:
