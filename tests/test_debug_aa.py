@@ -31,6 +31,32 @@ def test_aa_preset_reduces_edge_aliasing():
     assert diff.max() > 1e-3
 
 
+def test_aa_preset_quality_ladder():
+    """Quality-parity evidence for the SMAA→SSAA replacement (SURVEY §2.2):
+    each preset must land measurably closer (PSNR, against a 6×6-SSAA
+    ground truth) than the one below it.  The reference offers no metric of
+    its own (SMAA was judged by screenshots); a strictly increasing PSNR
+    ladder with a diminishing top step is the quantitative equivalent."""
+    scene, tex = config1_scene()
+    base = RenderConfig(width=48, height=32, refractive_glossy=False)
+    import dataclasses
+
+    truth = np.array(render_jit(scene, tex, dataclasses.replace(base, supersample=6)))
+
+    def psnr(img):
+        mse = np.mean((np.asarray(img, np.float64) - truth) ** 2)
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    ladder = {}
+    for preset in ("low", "medium", "high", "ultra"):
+        img = np.array(render_jit(scene, tex, base.with_aa_preset(preset)))
+        ladder[preset] = psnr(img)
+
+    assert ladder["low"] < ladder["medium"] < ladder["high"] < ladder["ultra"], ladder
+    # ultra (4×4 SSAA) must be close to converged vs the 6×6 truth
+    assert ladder["ultra"] > ladder["low"] + 6.0, ladder
+
+
 def test_render_debug_channels():
     scene, tex = config1_scene()
     cfg = RenderConfig(width=48, height=32, refractive_glossy=False)
