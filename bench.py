@@ -83,8 +83,19 @@ def _timed_chain(build_chain, iters=2):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: the renderer's branchy HLO costs minutes of
+    # XLA-TPU compile on a fresh backend; cached executables make repeat
+    # bench runs start in seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TXR_COMPILE_CACHE", "/root/.cache/jax_comp"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from txr.apps.demo import build_scene, demo_textures
     from txr.render.trace import RenderConfig
@@ -97,7 +108,10 @@ def main():
 
     scene, _ = build_scene(W, H)
     textures = demo_textures()
-    cfg = RenderConfig(width=W, height=H, iterations=5)
+    # 64K-ray chunks measured best on v5e: small enough that sky-dominated
+    # chunks die early (the cond gates), large enough to fill the VPU
+    cfg = RenderConfig(width=W, height=H, iterations=5,
+                       ray_chunk=(1 << 16) if on_tpu else 0)
     n_rays = W * H
 
     gate_ok, gate_frac = _correctness_gate(
