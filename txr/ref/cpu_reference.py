@@ -202,8 +202,10 @@ def _build_mips(tex):
 
 
 def _trilinear(levels, u, v, lod):
+    # lod clamps to L-1-eps, not L-1: the device's one-gather block sampler
+    # always reads a real (l0, l0+1) mip pair (texture.BLOCK_LOD_EPS).
     L = len(levels)
-    lod = min(max(float(lod), 0.0), float(L - 1))
+    lod = min(max(float(lod), 0.0), max(float(L - 1) - 1.0 / 1024.0, 0.0))
     l0 = int(np.floor(lod))
     l1 = min(l0 + 1, L - 1)
     f = lod - l0

@@ -36,6 +36,12 @@ _PI = 3.14159265358979  # PI_F, rt.frag:5
 MIP_MIN_SIZE = 4   # stop the pyramid when a side would shrink below this
 LOD_COS_MIN = 0.125  # grazing-angle footprint growth cap (~GL aniso limit)
 
+# Trilinear lod is clamped to L-1-eps instead of L-1 so the coarse fetch
+# level l0+1 is always a real pyramid level (the one-gather block sampler
+# reads both levels of the (l0, l0+1) pair from a single packed entry).
+# The CPU oracle applies the identical clamp (cpu_reference._trilinear).
+BLOCK_LOD_EPS = 1.0 / 1024.0
+
 
 @dataclasses.dataclass
 class TextureSet:
@@ -181,44 +187,291 @@ def build_packed_atlas(textures, wrap="repeat", mips=True):
 
 
 @dataclasses.dataclass
-class SceneAtlas:
-    """One PackedAtlas over every 2D scene texture + the static slot map:
-    sphere texture n occupies slot n−1, then the box texture, then the
-    ring texture (slot = None when absent)."""
+class BlockAtlas:
+    """One-gather trilinear atlas: mip-PAIR 4×4 block packing.
 
-    pa: PackedAtlas
+    The quad-packed PackedAtlas costs 2 gathers per trilinear sample (one
+    per mip level).  This layout costs ONE: because every mip level is an
+    exact 2×2 box filter of the previous one, a trilinear sample at levels
+    (l, l+1) is a pure function of a 4×4 block of *level-l* texels aligned
+    to the level-(l+1) grid — the level-l bilinear quad lies inside the
+    block (containment: with sample coord x ∈ [0, W_l) and k = ⌊x/2 − ½⌋,
+    the quad columns ⌊x−½⌋, ⌊x−½⌋+1 ∈ [2k, 2k+3]), and the level-(l+1)
+    quad is the four 2×2 block averages.  So entry (kv, ku) of pair-level
+    p = l+1 stores level-l texels rows 2kv..2kv+3 × cols 2ku..2ku+3
+    (wrapped/clamped), and one gather + VPU selects/averages reproduce the
+    2-gather trilinear bit-for-bit (the averages are the same 2×2 means
+    the pyramid build uses).
+
+    qatlas: [ΣHp, Wpmax, 16·C] — per-texture pair-levels p = 1..L stacked
+            vertically (pair-level p has grid (H_{p-1}+1)//2 ×
+            (W_{p-1}+1)//2; offset of pair-level p within a texture is the
+            closed form h0 − (h0 >> (p−1))).
+    base/h0/w0/levels: static per-texture tuples as in PackedAtlas.
+    clamp:  static per-texture 0/1 tuple — 0 = GL_REPEAT, 1 = clamp-to-edge
+            (per-texture, so REPEAT scene textures and the clamped cubemap
+            faces share one atlas and one fetch pass).
+
+    Memory: Σ_p (HW >> 2p)·16C = HW·16C/3 — identical to the quad-packed
+    mip pyramid's HW·4C·4/3.
+
+    Limitation: REPEAT textures with an odd level-0 side would need a
+    non-power-of-two wrap inside a block (the k = −1 block straddles the
+    seam at the wrong parity); ``with_mips`` falls back to the quad atlas
+    for such texture sets.
+    """
+
+    qatlas: object
+    base: tuple
+    h0: tuple
+    w0: tuple
+    levels: tuple
+    clamp: tuple
+
+
+jax.tree_util.register_dataclass(
+    BlockAtlas,
+    data_fields=["qatlas"],
+    meta_fields=["base", "h0", "w0", "levels", "clamp"],
+)
+
+
+def _block_pack_level(lev, wrap):
+    """[H,W,C] level-l texels → [(H+1)//2, (W+1)//2, 16C] pair blocks.
+
+    Entry (kv,ku) = rows 2kv..2kv+3 × cols 2ku..2ku+3 of lev, edges
+    wrapped (REPEAT) or duplicated (clamp), row-major over the 16 texels.
+    Built with strided slices of an edge-extended copy — no gathers."""
+    H, W = lev.shape[0], lev.shape[1]
+    Hp, Wp = (H + 1) // 2, (W + 1) // 2
+    if wrap == "repeat":
+        ext = jnp.concatenate([lev, lev[:3]], axis=0)
+        ext = jnp.concatenate([ext, ext[:, :3]], axis=1)
+    else:
+        ext = jnp.concatenate([lev, jnp.repeat(lev[-1:], 3, axis=0)], axis=0)
+        ext = jnp.concatenate([ext, jnp.repeat(ext[:, -1:], 3, axis=1)], axis=1)
+    parts = [
+        ext[dv : dv + 2 * Hp : 2, du : du + 2 * Wp : 2]
+        for dv in range(4)
+        for du in range(4)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def build_block_atlas(textures, wraps, mips=None):
+    """Pack textures (+ mip pairs) into one BlockAtlas.  wraps: per-texture
+    "repeat"/"clamp"; mips: per-texture bool (False → level 0 only, e.g.
+    cubemap faces, GLWrapper.cpp:284-317 builds no cube mips)."""
+    textures = [jnp.asarray(t) for t in textures]
+    if mips is None:
+        mips = [True] * len(textures)
+    C = textures[0].shape[-1]
+    wpmax = max((t.shape[1] + 1) // 2 for t in textures)
+    rows = []
+    base, h0, w0, levels, clamp = [], [], [], [], []
+    off = 0
+    for t, wr, m in zip(textures, wraps, mips):
+        lv = _mip_levels(t) if m else [t]
+        base.append(off)
+        h0.append(t.shape[0])
+        w0.append(t.shape[1])
+        levels.append(len(lv))
+        clamp.append(1 if wr == "clamp" else 0)
+        for l in lv:
+            q = _block_pack_level(l, wr)
+            pad_w = wpmax - q.shape[1]
+            if pad_w:
+                q = jnp.concatenate(
+                    [q, jnp.zeros((q.shape[0], pad_w, 16 * C), q.dtype)], axis=1
+                )
+            rows.append(q)
+            off += q.shape[0]
+    return BlockAtlas(
+        qatlas=jnp.concatenate(rows, axis=0),
+        base=tuple(base),
+        h0=tuple(h0),
+        w0=tuple(w0),
+        levels=tuple(levels),
+        clamp=tuple(clamp),
+    )
+
+
+def _sel4_rows(blk, i):
+    """blk [...,4,4,C], i [...] ∈ 0..3 → blk[..., i, :, :]  (where-chain)."""
+    out = blk[..., 0, :, :]
+    for j in range(1, 4):
+        out = jnp.where((i == j)[..., None, None], blk[..., j, :, :], out)
+    return out
+
+
+def _sel4_cols(row, i):
+    """row [...,4,C], i [...] ∈ 0..3 → row[..., i, :]."""
+    out = row[..., 0, :]
+    for j in range(1, 4):
+        out = jnp.where((i == j)[..., None], row[..., j, :], out)
+    return out
+
+
+def sample_block(ba: BlockAtlas, k, uv, lod=None):
+    """Trilinear (or bilinear when lod is None/0) fetch — ONE gather per ray.
+
+    Matches sample_packed's 2-gather trilinear except lod is clamped to
+    L−1−BLOCK_LOD_EPS (mirrored in the CPU oracle)."""
+    b, h0, w0, L = _meta(ba, k)
+    is_clamp = small_take(jnp.asarray(ba.clamp, jnp.int32), k) == 1
+    dt = uv.dtype
+    if lod is None:
+        lod = jnp.zeros(k.shape, dt)
+    lmax = jnp.maximum((L - 1).astype(dt) - BLOCK_LOD_EPS, 0.0)
+    lod = jnp.clip(lod, 0.0, lmax)
+    l0 = lod.astype(jnp.int32)
+    f = (lod - l0.astype(dt))[..., None]
+    Hl = jnp.right_shift(h0, l0)
+    Wl = jnp.right_shift(w0, l0)
+    Hl1 = jnp.maximum(jnp.right_shift(Hl, 1), 1)
+    Wl1 = jnp.maximum(jnp.right_shift(Wl, 1), 1)
+    Hp = jnp.right_shift(Hl + 1, 1)
+    Wp = jnp.right_shift(Wl + 1, 1)
+
+    def coords(c, nl, np_, nl1):
+        """Per-axis index math.  Returns (grid index into the pair level,
+        level-l0 tap-0 local offset ∈ {0,1,2}, level-l0 frac,
+        level-l1 tap-1 local offset ∈ {0,1}, level-l1 frac)."""
+        nlf = nl.astype(dt)
+        s = jnp.where(
+            is_clamp,
+            jnp.clip(c * nlf, 0.0, nlf),
+            (c - jnp.floor(c)) * nlf,
+        )
+        c0 = s - 0.5
+        c0 = jnp.where(is_clamp, jnp.clip(c0, 0.0, (nl - 1).astype(dt)), c0)
+        t0 = jnp.floor(c0)
+        f0 = c0 - t0
+        c1 = 0.5 * s - 0.5
+        c1 = jnp.where(is_clamp, jnp.clip(c1, 0.0, (nl1 - 1).astype(dt)), c1)
+        kf = jnp.floor(c1)
+        f1 = c1 - kf
+        kk = kf.astype(jnp.int32)
+        t_loc = jnp.clip(t0.astype(jnp.int32) - 2 * kk, 0, 2)
+        grid = jnp.where(is_clamp, kk, jnp.remainder(kk, np_))
+        b_loc = jnp.where(is_clamp & (kk + 1 > nl1 - 1), 0, 1)
+        return grid, t_loc, f0[..., None], b_loc, f1[..., None]
+
+    gu, tu, fu, bu, fu1 = coords(uv[..., 0], Wl, Wp, Wl1)
+    gv, tv, fv, bv, fv1 = coords(uv[..., 1], Hl, Hp, Hl1)
+
+    # pair-level p = l0+1 row offset within the texture: h0 − (h0 >> l0)
+    row = b + (h0 - jnp.right_shift(h0, l0)) + gv
+    q = ba.qatlas[row, gu]                                  # the ONE gather
+    blk = q.reshape(q.shape[:-1] + (4, 4, q.shape[-1] // 16))
+
+    # level-l0 bilinear quad (selects within the block)
+    ra = _sel4_rows(blk, tv)
+    rb = _sel4_rows(blk, tv + 1)
+    c00 = _sel4_cols(ra, tu)
+    c01 = _sel4_cols(ra, tu + 1)
+    c10 = _sel4_cols(rb, tu)
+    c11 = _sel4_cols(rb, tu + 1)
+    lo = (c00 * (1 - fu) + c01 * fu) * (1 - fv) + (c10 * (1 - fu) + c11 * fu) * fv
+
+    # level-l1 quad = the four 2×2 block means (the pyramid's own filter)
+    m = 0.25 * (
+        blk[..., 0::2, 0::2, :]
+        + blk[..., 0::2, 1::2, :]
+        + blk[..., 1::2, 0::2, :]
+        + blk[..., 1::2, 1::2, :]
+    )                                                        # [...,2,2,C]
+    d00 = m[..., 0, 0, :]
+    d01 = jnp.where((bu == 1)[..., None], m[..., 0, 1, :], d00)
+    d10 = jnp.where((bv == 1)[..., None], m[..., 1, 0, :], d00)
+    d11 = jnp.where(
+        (bv == 1)[..., None],
+        jnp.where((bu == 1)[..., None], m[..., 1, 1, :], m[..., 1, 0, :]),
+        jnp.where((bu == 1)[..., None], m[..., 0, 1, :], d00),
+    )
+    hi = (d00 * (1 - fu1) + d01 * fu1) * (1 - fv1) + (
+        d10 * (1 - fu1) + d11 * fu1
+    ) * fv1
+
+    return lo * (1 - f) + hi * f
+
+
+def sample_atlas(pa, k, uv, lod=None):
+    """Dispatch: BlockAtlas (one gather) or PackedAtlas (1-2 gathers)."""
+    if isinstance(pa, BlockAtlas):
+        return sample_block(pa, k, uv, lod)
+    return sample_packed(pa, k, uv, lod)
+
+
+@dataclasses.dataclass
+class SceneAtlas:
+    """One atlas over every texture a frame can touch + the static slot
+    map: sphere texture n occupies slot n−1, then the box texture, then
+    the ring texture, then the 6 cubemap faces (cube_base = face-0 slot;
+    None when absent).  With the cubemap merged in, a bounce step's miss
+    (environment) rays and textured-hit rays are served by ONE fetch."""
+
+    pa: object
     n_sphere: int
     box_slot: object = None
     ring_slot: object = None
+    cube_base: object = None
 
 
 jax.tree_util.register_dataclass(
     SceneAtlas,
     data_fields=["pa"],
-    meta_fields=["n_sphere", "box_slot", "ring_slot"],
+    meta_fields=["n_sphere", "box_slot", "ring_slot", "cube_base"],
 )
 
 
 def with_mips(textures: TextureSet) -> TextureSet:
     """TextureSet with packed sampling atlases built for every texture
     (idempotent).  Runs inside jit at render entry — the glGenerateMipmap
-    moment (GLWrapper.cpp:343), re-run per frame so texture gradients flow."""
+    moment (GLWrapper.cpp:343), re-run per frame so texture gradients flow.
+
+    Preferred layout: ONE BlockAtlas over scene textures + cubemap faces
+    (one gather per trilinear sample, one fetch pass per bounce step).
+    Falls back to the 2-gather quad atlases when a REPEAT texture has an
+    odd side (see BlockAtlas limitation)."""
     if textures.atlas2d is not None or textures.cubemap_packed is not None:
         return textures
     texs = list(textures.sphere)
     n_sphere = len(texs)
-    box_slot = ring_slot = None
+    box_slot = ring_slot = cube_base = None
     if textures.box is not None:
         box_slot = len(texs)
         texs.append(textures.box)
     if textures.ring is not None:
         ring_slot = len(texs)
         texs.append(textures.ring)
+    n_2d = len(texs)
+    odd_repeat = any(
+        (jnp.shape(t)[0] % 2) or (jnp.shape(t)[1] % 2) for t in texs
+    )
+    if not odd_repeat:
+        wraps = ["repeat"] * n_2d
+        mips = [True] * n_2d
+        if textures.cubemap is not None:
+            cube_base = len(texs)
+            texs = texs + [textures.cubemap[f] for f in range(6)]
+            wraps += ["clamp"] * 6
+            mips += [False] * 6
+        return dataclasses.replace(
+            textures,
+            atlas2d=(
+                SceneAtlas(build_block_atlas(texs, wraps, mips), n_sphere,
+                           box_slot, ring_slot, cube_base)
+                if texs
+                else None
+            ),
+        )
     return dataclasses.replace(
         textures,
         atlas2d=(
-            SceneAtlas(build_packed_atlas(texs), n_sphere, box_slot, ring_slot)
-            if texs
+            SceneAtlas(build_packed_atlas(texs[:n_2d]), n_sphere,
+                       box_slot, ring_slot)
+            if n_2d
             else None
         ),
         cubemap_packed=(
@@ -409,7 +662,7 @@ def sample_sphere_texture(textures: TextureSet, tex_num, normal, fw=None, radius
         if fw is not None:
             _, h0, w0, _ = _meta(sa.pa, k)
             lod = lod_sphere(fw, radius, (h0, w0))
-        return sample_packed(sa.pa, k, uv, lod)
+        return sample_atlas(sa.pa, k, uv, lod)
     out = jnp.ones(uv.shape[:-1] + (4,), jnp.float32)
     for i, tex in enumerate(textures.sphere):
         c = sample_bilinear(tex, uv)
@@ -449,7 +702,7 @@ def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat, fw=N
         uv, w = box_face_uv(pt, normal, box_pos, box_quat)
         k = jnp.full(uv.shape[:-1], sa.box_slot, jnp.int32)
         lod = lod_box(fw, tex.shape[:2]) if fw is not None else None
-        return sample_packed(sa.pa, k, uv, lod) * w[..., None]
+        return sample_atlas(sa.pa, k, uv, lod) * w[..., None]
 
     # unpacked fallback: the literal 3-face blend
     from txr.geometry import quaternion as quat
@@ -477,7 +730,7 @@ def sample_ring_texture(textures: TextureSet, uv, fw=None, r1_sq=None, r2_sq=Non
         lod = None
         if fw is not None:
             lod = lod_ring(fw, r1_sq, r2_sq, textures.ring.shape[:2])
-        return sample_packed(sa.pa, k, uv, lod)
+        return sample_atlas(sa.pa, k, uv, lod)
     return sample_bilinear(textures.ring, uv)
 
 

@@ -114,7 +114,8 @@ class RenderConfig:
 AA_PRESETS = {"off": 1, "low": 1, "medium": 2, "high": 3, "ultra": 4}
 
 
-def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True):
+def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True,
+             miss=None):
     """get_hit_info (rt.frag:744-784): per-ray normal, material (with
     texturing applied to the colour), alpha, and the distance-scaled
     shadow-acne bias.
@@ -125,6 +126,11 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True):
 
     ``pix_angle`` (radians per sample, 1/(height·ss)) enables ray-footprint
     mip LOD for the texture fetches; None = level-0 bilinear.
+
+    ``miss`` ([R] bool or None): when the scene atlas carries the cubemap
+    (SceneAtlas.cube_base), rays flagged here get their environment colour
+    fetched in the SAME pass as the textured-hit fetch (returned as
+    ``env``) — one gather pass per bounce step instead of two.
     """
     R = t.shape
     dt = ro.dtype
@@ -182,9 +188,10 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True):
 
     # -- unified texture request ------------------------------------------
     # With the SceneAtlas (texture.py), every textured hit type contributes
-    # (slot, uv, lod) per ray and a SINGLE trilinear fetch serves them all:
-    # 2 gathers per step for the whole batch instead of 2 per type.  The
-    # per-type sampler fallbacks below handle unpacked TextureSets.
+    # (slot, uv, lod) per ray and a SINGLE fetch serves them all — including
+    # (when the cubemap shares the atlas) the environment colour of ``miss``
+    # rays.  The per-type sampler fallbacks below handle unpacked
+    # TextureSets.
     sa = textures.atlas2d
     if sa is not None:
         req_k = jnp.zeros(R, jnp.int32)
@@ -193,6 +200,21 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True):
         req_lod = None if pix_angle is None else jnp.zeros(R, dt)
         req_any = jnp.zeros(R, bool)
     sphere_textured = box_textured = ring_textured = None
+    env_sel = None
+    if (
+        sa is not None
+        and getattr(sa, "cube_base", None) is not None
+        and miss is not None
+    ):
+        env_sel = miss
+        face, uvc = tx._cube_face_uv(rd)
+        req_k = jnp.where(env_sel, sa.cube_base + face, req_k)
+        req_u = jnp.where(env_sel, uvc[..., 0], req_u)
+        req_v = jnp.where(env_sel, uvc[..., 1], req_v)
+        # cubemap has no mips (load_cubemap builds none, GLWrapper.cpp:284)
+        if req_lod is not None:
+            req_lod = jnp.where(env_sel, 0.0, req_lod)
+        req_any = req_any | env_sel
     box_w = None
 
     if c["spheres"]:
@@ -319,14 +341,16 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True):
         blend(sel, ri.mat, i, n, a, col)
 
     # -- the single unified fetch (then per-type colour/alpha overrides) ----
+    env = None
     if sa is not None and (
         sphere_textured is not None
         or box_textured is not None
         or ring_textured is not None
+        or env_sel is not None
     ):
         uv = jnp.stack([req_u, req_v], axis=-1)
         texc = gated_fetch(
-            req_any, lambda: tx.sample_packed(sa.pa, req_k, uv, req_lod)
+            req_any, lambda: tx.sample_atlas(sa.pa, req_k, uv, req_lod)
         )
         if sphere_textured is not None:
             color = jnp.where(sphere_textured[..., None], texc[..., :3], color)
@@ -338,10 +362,13 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True):
         if ring_textured is not None:
             color = jnp.where(ring_textured[..., None], texc[..., :3], color)
             alpha = jnp.where(ring_textured, texc[..., 3], alpha)
+        if env_sel is not None:
+            env = texc[..., :3]
 
     bias = (9e-3 * t_safe + 35.0) / 35e3  # rt.frag:780-782
 
     return dict(
+        env=env,
         pt=pt,
         normal=n_out,
         color=color,
@@ -434,21 +461,14 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         hit = jnp.isfinite(t)
         act = alive & hit
 
-        # -- miss → environment (rt.frag:892-895); the cubemap fetch is a
-        # gather, so skip it on steps where no ray misses
+        # -- miss → environment (rt.frag:892-895).  When the cubemap lives
+        # in the scene atlas its fetch merges into hit_info's single fetch
+        # pass (hi["env"]); otherwise it is its own (gated) gather pass.
         miss = alive & ~hit
-
-        def miss_pass(color):
-            return jnp.where(
-                miss[..., None],
-                color + _background(scene, textures, rd) * mask,
-                color,
-            )
-
-        if cfg.gating:
-            color = jax.lax.cond(jnp.any(miss), miss_pass, lambda c: c, color)
-        else:
-            color = miss_pass(color)
+        sa = textures.atlas2d
+        merged_env = (
+            sa is not None and getattr(sa, "cube_base", None) is not None
+        )
         alive = alive & hit
 
         # -- light bulb hit (rt.frag:829-832)
@@ -463,7 +483,27 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
             act = act & ~is_light
 
         hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg),
-                      gate=cfg.gating)
+                      gate=cfg.gating, miss=miss if merged_env else None)
+
+        if merged_env:
+            color = jnp.where(
+                miss[..., None], color + hi["env"] * mask, color
+            )
+        else:
+
+            def miss_pass(color):
+                return jnp.where(
+                    miss[..., None],
+                    color + _background(scene, textures, rd) * mask,
+                    color,
+                )
+
+            if cfg.gating:
+                color = jax.lax.cond(
+                    jnp.any(miss), miss_pass, lambda c: c, color
+                )
+            else:
+                color = miss_pass(color)
         n = hi["normal"]
         outside = jnp.sum(rd * n, axis=-1) < 0.0     # rt.frag:837
         n = jnp.where(outside[..., None], n, -n)
