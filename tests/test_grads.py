@@ -78,6 +78,20 @@ def replace_leaf(scene, path, value):
     return obj
 
 
+_GRAD_CACHE = {}
+
+
+def scene_grad(px):
+    """One reverse-mode pass per probe pixel yields the gradient for EVERY
+    scene leaf; all fd_checks at that pixel share it (the FD side is what
+    varies per check)."""
+    if px not in _GRAD_CACHE:
+        _GRAD_CACHE[px] = jax.grad(
+            lambda s: pixel_loss(s, px), allow_int=True
+        )(SCENE)
+    return _GRAD_CACHE[px]
+
+
 def fd_check(path, index, px, eps, rtol=0.05, atol=5e-4):
     leaf = np.asarray(getattr_path(SCENE, path), np.float64)
 
@@ -87,8 +101,7 @@ def fd_check(path, index, px, eps, rtol=0.05, atol=5e-4):
         return replace_leaf(SCENE, path, jnp.asarray(v, jnp.float32))
 
     fd = (oracle_loss(perturbed(+1), px) - oracle_loss(perturbed(-1), px)) / (2 * eps)
-    g = jax.grad(lambda s: pixel_loss(s, px), allow_int=True)(SCENE)
-    an = float(np.asarray(getattr_path(g, path))[index])
+    an = float(np.asarray(getattr_path(scene_grad(px), path))[index])
     np.testing.assert_allclose(an, fd, rtol=rtol, atol=atol)
 
 

@@ -57,7 +57,7 @@ def test_pallas_full_render_matches():
     # small frame + trimmed bounce budget: interpret-mode pallas costs
     # ~seconds per kernel instance on CPU, and the full 13-step loop runs
     # 6 sweeps per step (nearest + shadow kernels per light)
-    cfg = RenderConfig(width=32, height=22, iterations=3, extra_refraction_steps=4)
+    cfg = RenderConfig(width=24, height=16, iterations=2, extra_refraction_steps=3)
     scene, tex = _full_scene()
     img_j = np.array(render_jit(scene, tex, cfg))
     img_p = np.array(
