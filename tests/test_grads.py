@@ -184,3 +184,33 @@ def test_grad_camera_quat():
 
 def test_grad_ambient():
     fd_check("ambient_color", (1,), PX_SPHERE, 1e-3)
+
+
+def test_grad_finite_at_exact_tangency():
+    """A ray whose discriminant is exactly 0.0 (silhouette) must yield a
+    finite derivative: one such pixel at 1080p otherwise NaNs every scene
+    gradient of the frame (safe_sqrt eps floor)."""
+    from txr.geometry.intersect import sphere_t, surface_t
+
+    ro = jnp.array([[0.0, 0.0, -5.0]])
+    rd = jnp.array([[1.0, 0.0, 0.0]])
+    pos = jnp.array([[3.0, 1.0, -5.0]])
+
+    def f(r):
+        return sphere_t(ro, rd, pos, jnp.array([r]), jnp.array([False]))[0, 0]
+
+    t, dt = jax.jvp(f, (1.0,), (1.0,))
+    assert np.isclose(float(t), 3.0, atol=1e-5)
+    assert np.isfinite(float(dt))
+
+    coef = jnp.array([[1.0, 1.0, 1.0, 0.0, 0.0, -1.0]])
+    quat_id = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    big = jnp.array([[3e38, 3e38, 3e38]])
+
+    def g(y):
+        p = jnp.stack([jnp.asarray(3.0), y, jnp.asarray(-5.0)])[None]
+        return surface_t(ro, rd, p, quat_id, coef, -big, big)[0, 0]
+
+    t2, dt2 = jax.jvp(g, (1.0,), (1.0,))
+    assert np.isclose(float(t2), 3.0, atol=1e-5)
+    assert np.isfinite(float(dt2))

@@ -31,9 +31,17 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def safe_sqrt(x, valid):
-    """sqrt(x) where valid, 0 elsewhere — with grads killed on invalid lanes."""
-    return jnp.where(valid, jnp.sqrt(jnp.where(valid, x, 1.0)), 0.0)
+def safe_sqrt(x, valid, eps=1e-12):
+    """sqrt(x) where valid, 0 elsewhere — with grads killed on invalid lanes.
+
+    Valid lanes floor the argument at ``eps``: a ray exactly tangent to a
+    quadric (discriminant == 0.0 in f32 — ~1 in 10⁵ pixels at 1080p) is an
+    *active* lane whose true dt/dparam is infinite, and one such pixel
+    poisons every parameter gradient of the frame.  The floor caps the
+    silhouette derivative at O(1/√eps) while perturbing t by ≤ √eps."""
+    return jnp.where(
+        valid, jnp.sqrt(jnp.maximum(jnp.where(valid, x, 1.0), eps)), 0.0
+    )
 
 
 def safe_normalize(v, eps=1e-30):
