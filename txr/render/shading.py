@@ -105,17 +105,15 @@ def calc_shade(
         dp = jnp.clip(jnp.sum(normal[..., None, :] * ld, axis=-1), 0.0, 1.0)
         lc = light_color * dp[..., None]
         if shadow_enabled and do_shadow:
+            # one any-hit sweep for ALL lights: flatten the light axis into
+            # the ray axis so L lights cost one kernel launch and one
+            # ring-alpha fetch pass instead of L of each
             L = ld.shape[-2]
-            sh = jnp.stack(
-                [
-                    shadow_factor(
-                        scene, pt, ld[..., i, :], dist[..., i], textures,
-                        one_side_planes, backend,
-                    )
-                    for i in range(L)
-                ],
-                axis=-1,
-            )  # [R, L]
+            ro_f = jnp.broadcast_to(pt[..., None, :], ld.shape).reshape(-1, 3)
+            sh = shadow_factor(
+                scene, ro_f, ld.reshape(-1, 3), dist.reshape(-1), textures,
+                one_side_planes, backend,
+            ).reshape(dist.shape)  # [R, L]
             lc = lc * jnp.maximum((1.0 - sh)[..., None], scene.shadow_ambient)
         w = (intensity / dist_div)[..., None]
         diffuse = diffuse + jnp.sum(
