@@ -82,7 +82,7 @@ print(f"CHECKSUM {cs!r}", flush=True)
     shard_map, mesh=mesh, in_specs=(P(), P(), P(), spec, spec), out_specs=P()
 )
 def grad_sphere_pos(scene, tex, pos, ro, rd):
-    pos = jax.lax.pvary(pos, ("dp",))
+    pos = jax.lax.pcast(pos, ("dp",), to="varying")
 
     def local_loss(pos):
         import dataclasses

@@ -84,3 +84,28 @@ def test_with_mips_merges_cubemap():
     assert out.cubemap_packed is None
     assert len(sa.pa.base) == 7  # 1 sphere + 6 faces
     assert sa.pa.clamp == (0, 1, 1, 1, 1, 1, 1)
+
+
+def test_block_matches_quad_trilinear_clamp():
+    """The clamp-wrap trilinear branch (ADVICE r2): unused by the demo
+    (clamp textures are mip-less cubemap faces) but reachable via the public
+    build_block_atlas API — must agree with the quad-atlas path, including
+    at uv exactly 0 and 1 and outside [0,1]."""
+    rng = np.random.default_rng(5)
+    texs = [_rand_tex(rng, 32, 64), _rand_tex(rng, 16, 16)]
+    ba = build_block_atlas(texs, ["clamp"] * 2, mips=[True, True])
+    pa = build_packed_atlas(texs, wrap="clamp")
+
+    R = 4096
+    k = jnp.asarray(rng.integers(0, 2, R), jnp.int32)
+    uv = jnp.asarray(rng.random((R, 2), np.float32) * 2.0 - 0.5)  # clamps
+    uv = uv.at[:8].set(jnp.asarray([[0, 0], [1, 1], [0, 1], [1, 0],
+                                    [0.5, 0], [0, 0.5], [1, 0.5], [0.5, 1]],
+                                   jnp.float32))
+    lod = jnp.asarray(rng.random(R, np.float32) * 5.0)
+    lod = lod.at[:4].set(jnp.asarray([0.0, 5.0, 4.0, 1.5], jnp.float32))
+
+    got = sample_block(ba, k, uv, lod)
+    want = sample_packed(pa, k, uv, lod)  # sample_packed now eps-clamps too
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -139,7 +139,8 @@ def make_train_step(textures, cfg, mesh, optimizer, param_paths=None):
             in_specs=(P(), P(), spec, spec, spec, spec), out_specs=(P(), P()),
         )
         def grad_tile(params, frozen, ro, rd, tgt, valid):
-            # pvary the replicated params HERE, at the shard boundary, so
+            # pcast-to-varying the replicated params HERE, at the shard
+            # boundary, so
             # the broadcast-transpose psum of the partial parameter grads is
             # anchored at this point in the backward sweep.  Without it the
             # VMA machinery would place that psum wherever the replicated
@@ -148,7 +149,7 @@ def make_train_step(textures, cfg, mesh, optimizer, param_paths=None):
             # device-varying predicate lets some devices skip the
             # collective: a cross-device deadlock.
             params = jax.tree_util.tree_map(
-                lambda x: jax.lax.pvary(x, axes), params
+                lambda x: jax.lax.pcast(x, axes, to="varying"), params
             )
 
             def local_loss(params):
@@ -157,7 +158,7 @@ def make_train_step(textures, cfg, mesh, optimizer, param_paths=None):
                 return jnp.sum(valid[:, None] * (c - tgt) ** 2)
 
             l, g = jax.value_and_grad(local_loss)(params)
-            # post-pvary, g holds this device's PARTIAL parameter grads
+            # post-pcast, g holds this device's PARTIAL parameter grads
             # (typed varying); one explicit psum — here, outside any cond —
             # completes them.  Same for the local loss.
             l = jax.lax.psum(l, axes)

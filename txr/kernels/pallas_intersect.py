@@ -349,6 +349,28 @@ def _interpret():
     return jax.devices()[0].platform == "cpu"
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct matching ``like``'s varying-across-mesh-axes type —
+    required under shard_map(check_vma=True) (pallas outputs must declare
+    their vma; inherit it from the ray input so the kernels work both
+    standalone and inside a sharded ray tile)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _match_vma(operands, like):
+    """pcast replicated operands to ``like``'s vma so every pallas input
+    shares one varying type under shard_map (mixed-vma kernel bodies are
+    rejected by the VMA checker)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if not vma:
+        return operands
+    axes = tuple(vma)
+    return [jax.lax.pcast(o, axes, to="varying") for o in operands]
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def nearest_hit_pallas(scene, ro, rd, one_side=True):
     """Fused sweep → (tmin [N], slot [N]).  tmin ≥ 1e30 means miss.
@@ -376,14 +398,15 @@ def nearest_hit_pallas(scene, ro, rd, one_side=True):
 
     kernel = _build_kernel(counts, one_side, n_slots)
 
+    operands = _match_vma(operands, roT)
     t, slot = pl.pallas_call(
         kernel,
         grid=(n_pad // TILE,),
         in_specs=in_specs + [ray_spec, ray_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            _sds((1, n_pad), jnp.float32, roT),
+            _sds((1, n_pad), jnp.int32, roT),
         ),
         interpret=_interpret(),
     )(*operands, roT, rdT)
@@ -481,15 +504,16 @@ def shadow_sweep_pallas(scene, ro, rd, dist, one_side=True):
     ray_spec = pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
     dist_spec = pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
     out_specs = [pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((1, n_pad), jnp.float32)]
+    out_shape = [_sds((1, n_pad), jnp.float32, roT)]
     if nr:
         out_specs.append(
             pl.BlockSpec((3 * nr, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((3 * nr, n_pad), jnp.float32))
+        out_shape.append(_sds((3 * nr, n_pad), jnp.float32, roT))
 
     kernel = _build_shadow_kernel(counts, one_side)
 
+    operands = _match_vma(operands, roT)
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // TILE,),

@@ -52,6 +52,12 @@ def _load():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.txr_jpeg_decode.restype = ctypes.c_void_p
+    lib.txr_jpeg_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.txr_f32_to_u8.restype = None
     lib.txr_f32_to_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
     lib.txr_free.restype = None
@@ -94,6 +100,30 @@ def png_decode(data: bytes) -> np.ndarray:
     )
     if not buf:
         raise RuntimeError("png decode failed")
+    try:
+        raw = ctypes.string_at(buf, h.value * w.value * c.value)
+    finally:
+        lib.txr_free(buf)
+    return np.frombuffer(raw, np.uint8).reshape(h.value, w.value, c.value).copy()
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → [H,W,C] uint8 (C = 1 or 3).  Native
+    (txr/native/jpeg.cpp — the stb_image-equivalent for the reference's
+    shipped JPEG assets, GLWrapper.cpp:284-354).  Raises on progressive /
+    arithmetic / 12-bit streams — callers fall back to PIL."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native imageio unavailable")
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    buf = ctypes.c_void_p(
+        lib.txr_jpeg_decode(data, len(data), ctypes.byref(h), ctypes.byref(w),
+                            ctypes.byref(c))
+    )
+    if not buf:
+        raise RuntimeError("jpeg decode failed (unsupported or corrupt)")
     try:
         raw = ctypes.string_at(buf, h.value * w.value * c.value)
     finally:

@@ -1,0 +1,306 @@
+"""XLA-side consumer of the fused step-probe kernel.
+
+``fused_step_fwd`` is the forward bounce step built on
+txr/kernels/pallas_step.py: the probe kernel does every sweep, the hit
+info, Fresnel, and the per-light shading probes; this module applies the
+one gated texture-atlas gather and the elementwise bounce-state update —
+a short chain XLA fuses into a handful of kernels.
+
+Semantics mirror txr/render/trace.py step_jnp line-for-line (same masks,
+same update order, rt.frag:804-902); the golden/gate tests compare the two
+paths.  Forward-only: trace.py wraps this in a custom VJP whose backward
+recomputes step_jnp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from txr.render import texture as tx
+from txr.render.shading import reflect, refract
+from txr.utils.gather import small_take
+from txr.scene.types import TYPE_SPHERE, TYPE_POINT_LIGHT
+from txr.kernels.pallas_step import (
+    step_probe_pallas,
+    KIND_RGBA,
+    KIND_BOX,
+    KIND_ENV,
+)
+
+
+def _probe(scene, textures, cfg, ro, rd, shade_flipped):
+    from txr.render.trace import _pix_angle
+
+    pix = _pix_angle(cfg) or 0.0
+    return step_probe_pallas(
+        scene, textures.atlas2d, ro, rd,
+        one_side=cfg.plane_oneside,
+        shadow_enabled=cfg.shadow_enabled,
+        do_fresnel=cfg.do_fresnel,
+        tir=cfg.total_internal_reflection,
+        pix_angle=pix,
+        shade_flipped=shade_flipped,
+    )
+
+
+def _fetch_texels(textures, cfg, pr, ty, alive=None, env_sel=None):
+    """The single gated atlas fetch serving every textured hit type (and,
+    when the cubemap shares the atlas, the environment of miss rays) —
+    hit_info's unified fetch, fed by the kernel's requests.  Sphere lanes
+    carry the texturing-rotated normal (Mosaic lacks atan2/asin); the
+    spherical UV is finished here.
+
+    ``alive``/``env_sel`` tighten the skip gate: texel values on lanes
+    outside them are never consumed, so the fetch may be skipped whenever
+    no live lane requests one (the gate changes WHEN we fetch, never what
+    any consumed lane sees)."""
+    sa = textures.atlas2d
+    if sa is None:
+        return None
+    kind = pr["kind"]
+    need = (kind == KIND_RGBA) | (kind == KIND_BOX)
+    if alive is not None:
+        need = need & alive
+    if env_sel is not None and sa.cube_base is not None:
+        need = need | ((kind == KIND_ENV) & env_sel)
+    req = pr["req"]
+    sphere_tex = (kind == KIND_RGBA) & (ty == TYPE_SPHERE)
+    uv = jnp.where(sphere_tex[..., None], tx.sphere_uv(req), req[..., :2])
+    lod = pr["lod"] if cfg.texture_lod else None
+    k = jnp.clip(pr["req_k"], 0, len(sa.pa.base) - 1)
+
+    def fetch():
+        return tx.sample_atlas(sa.pa, k, uv, lod)
+
+    if cfg.gating:
+        ones = jnp.broadcast_to(
+            jnp.ones_like(pr["t"])[..., None], pr["t"].shape + (4,))
+        return jax.lax.cond(jnp.any(need), fetch, lambda: ones)
+    return fetch()
+
+
+def _apply_texture(pr, texc):
+    """Textured colour/alpha overrides (get_hit_info's per-type branches)."""
+    mcol = pr["color"]
+    alpha = jnp.ones_like(pr["t"])
+    if texc is not None:
+        kind = pr["kind"]
+        rgba = kind == KIND_RGBA
+        mcol = jnp.where(rgba[..., None], texc[..., :3], mcol)
+        alpha = jnp.where(rgba, texc[..., 3], alpha)
+        boxk = kind == KIND_BOX
+        mcol = jnp.where(
+            boxk[..., None], texc[..., :3] * pr["tex_w"][..., None], mcol)
+    return mcol, alpha
+
+
+def _shade_from_probes(scene, textures, cfg, pr, mcol):
+    """calcShade finished from the kernel's per-light probes: shadow =
+    min(solid + ring alphas, 1); Phong = ambient + kd·diffuse + ks·spec
+    (rt.frag:660-709)."""
+    c = scene.counts
+    L = c["lights_point"] + c["lights_direct"]
+    ambient = scene.ambient_color * mcol
+    if L == 0:
+        return ambient
+    sh = pr["light_solid"]                                   # [R, L]
+    if cfg.shadow_enabled and c["rings"] and pr["ring_hit"] is not None:
+        rh = pr["ring_hit"]                                  # [R, L, nr]
+        ruv = pr["ring_uv"]                                  # [R, L, nr, 2]
+        textured = scene.rings.texture > 0
+        have_tex = textures.ring is not None
+        opaque = ~textured if have_tex else (textured | ~textured)
+        sh = jnp.maximum(sh, jnp.any(rh & opaque, axis=-1).astype(sh.dtype))
+        if have_tex:
+            needa = rh & textured
+
+            def alpha_fetch():
+                a = tx.sample_ring_texture(textures, ruv)[..., 3]
+                return jnp.sum(jnp.where(needa, a, 0.0), axis=-1)
+
+            if cfg.gating:
+                asum = jax.lax.cond(
+                    jnp.any(needa), alpha_fetch,
+                    lambda: jnp.zeros(sh.shape, sh.dtype))
+            else:
+                asum = alpha_fetch()
+            sh = sh + asum
+    sh = jnp.minimum(sh, 1.0)
+    if cfg.shadow_enabled:
+        factor = jnp.maximum((1.0 - sh)[..., None], scene.shadow_ambient)
+    else:
+        factor = jnp.ones(sh.shape + (3,), sh.dtype)
+    lcolors = []
+    if c["lights_point"]:
+        lcolors.append(scene.lights_point.color)
+    if c["lights_direct"]:
+        lcolors.append(scene.lights_direct.color)
+    lcolor = jnp.concatenate(lcolors, axis=0)                # [L, 3]
+    com = pr["light_s"][..., None] * factor                  # [R, L, 3]
+    diffuse = jnp.sum(com * lcolor, axis=-2)
+    spec = jnp.sum(com * lcolor * pr["light_spec"][..., None], axis=-2)
+    return (ambient
+            + diffuse * mcol * pr["diffuse"][..., None] * pr["kd"][..., None]
+            + spec * pr["ks"][..., None])
+
+
+def _types_of(scene, pr):
+    from txr.render.intersect import _type_tables
+
+    type_tab, idx_tab = _type_tables(scene)
+    hit = jnp.isfinite(pr["t"])
+    ty = jnp.where(hit, small_take(type_tab, pr["slot"]), -1)
+    idx = small_take(idx_tab, pr["slot"])
+    return hit, ty, idx
+
+
+def fused_reflected_color(scene, textures, cfg, ro, rd):
+    """getReflectedColor (rt.frag:787-802) on the probe kernel: one extra
+    fused pass whose shading probes use the UNFLIPPED hit normal (the
+    reference passes hit_info's normal straight through)."""
+    pr = _probe(scene, textures, cfg, ro, rd, shade_flipped=False)
+    hit0, ty, idx = _types_of(scene, pr)
+    is_light = ty == TYPE_POINT_LIGHT
+    hit = hit0 & ~is_light
+    texc = _fetch_texels(textures, cfg, pr, ty)
+    mcol, _ = _apply_texture(pr, texc)
+    shade = _shade_from_probes(scene, textures, cfg, pr, mcol)
+    color = jnp.where(hit[..., None], shade, 0.0)
+    if scene.counts["lights_point"]:
+        lcol = small_take(
+            scene.lights_point.color,
+            jnp.clip(idx, 0, scene.counts["lights_point"] - 1))
+        color = jnp.where(is_light[..., None], lcol, color)
+    return color
+
+
+def fused_step_fwd(scene, textures, cfg, st):
+    """One bounce step, fused-forward form — the mirror of step_jnp."""
+    from txr.render.trace import _background
+
+    ro, rd = st["ro"], st["rd"]
+    alive = st["alive"]
+    color, mask = st["color"], st["mask"]
+    absorb_dist = st["absorb_dist"]
+    bounces = st["bounces"]
+
+    pr = _probe(scene, textures, cfg, ro, rd, shade_flipped=True)
+    t = pr["t"]
+    hit, ty, idx = _types_of(scene, pr)
+    act = alive & hit
+    miss = alive & ~hit
+    sa = textures.atlas2d
+    merged_env = sa is not None and sa.cube_base is not None
+    alive = alive & hit
+
+    if scene.counts["lights_point"]:
+        is_light = act & (ty == TYPE_POINT_LIGHT)
+        lcol = small_take(
+            scene.lights_point.color,
+            jnp.clip(idx, 0, scene.counts["lights_point"] - 1))
+        color = jnp.where(is_light[..., None], color + lcol * mask, color)
+        alive = alive & ~is_light
+        act = act & ~is_light
+
+    texc = _fetch_texels(textures, cfg, pr, ty, alive=st["alive"], env_sel=miss)
+    mcol, alpha = _apply_texture(pr, texc)
+
+    if merged_env:
+        color = jnp.where(miss[..., None], color + texc[..., :3] * mask, color)
+    else:
+
+        def miss_pass(color):
+            return jnp.where(
+                miss[..., None],
+                color + _background(scene, textures, rd) * mask, color)
+
+        if cfg.gating:
+            color = jax.lax.cond(jnp.any(miss), miss_pass, lambda c: c, color)
+        else:
+            color = miss_pass(color)
+
+    n = pr["n"]                      # already backface-flipped in-kernel
+    outside = pr["outside"]
+    t_safe = jnp.where(hit, t, 0.0)
+    pt = ro + rd * t_safe[..., None]
+    bias = ((9e-3 * t_safe + 35.0) / 35e3)[..., None]
+
+    refr_idx = pr["refract"]
+    refl = pr["reflect"]
+    is_refractive = refr_idx > 0.0
+    reflect_mult = pr["rm"]
+    refract_mult = 1.0 - reflect_mult
+
+    shade_origin_out = pt + n * bias
+    shade_origin_in = pt - n * bias
+
+    refr_act = act & is_refractive
+    glossy = refr_act & outside & (refl > 0.0)
+    if cfg.refractive_glossy:
+
+        def glossy_pass(cm):
+            color, mask = cm
+            rc = fused_reflected_color(
+                scene, textures, cfg, shade_origin_out, reflect(rd, n))
+            color = jnp.where(
+                glossy[..., None],
+                color + rc * reflect_mult[..., None] * mask, color)
+            mask = jnp.where(
+                glossy[..., None], mask * refract_mult[..., None], mask)
+            return color, mask
+
+        if cfg.gating:
+            color, mask = jax.lax.cond(
+                jnp.any(glossy), glossy_pass, lambda cm: cm, (color, mask))
+        else:
+            color, mask = glossy_pass((color, mask))
+
+    inside = refr_act & ~outside
+    absorb_dist = jnp.where(inside, absorb_dist + t, absorb_dist)
+    beer = jnp.exp(-pr["absorb"] * absorb_dist[..., None])
+    mask = jnp.where(inside[..., None], mask * beer, mask)
+
+    if cfg.total_internal_reflection:
+        tir = refr_act & (reflect_mult >= 1.0)
+        alive = alive & ~tir
+        refr_act = refr_act & ~tir
+
+    eta = jnp.where(outside, 1.0 / jnp.maximum(refr_idx, 1e-6), refr_idx)
+    new_rd_refr = refract(rd, n, eta)
+    ro = jnp.where(refr_act[..., None], shade_origin_in, ro)
+    rd = jnp.where(refr_act[..., None], new_rd_refr, rd)
+
+    refl_act = act & ~is_refractive & (refl > 0.0)
+    diff_act = act & ~is_refractive & (refl <= 0.0)
+    needs_shade = refl_act | diff_act
+    shade = _shade_from_probes(scene, textures, cfg, pr, mcol)
+    shade = jnp.where(needs_shade[..., None], shade, 0.0)
+
+    color = jnp.where(
+        refl_act[..., None],
+        color + shade * refract_mult[..., None] * mask, color)
+    new_rd_refl = reflect(rd, n)
+    ro = jnp.where(refl_act[..., None], shade_origin_out, ro)
+    rd = jnp.where(refl_act[..., None], new_rd_refl, rd)
+    mask = jnp.where(refl_act[..., None], mask * reflect_mult[..., None], mask)
+
+    color = jnp.where(
+        diff_act[..., None], color + shade * mask * alpha[..., None], color)
+    translucent = diff_act & (alpha < 1.0)
+    ro = jnp.where(translucent[..., None], shade_origin_in, ro)
+    mask = jnp.where(
+        translucent[..., None], mask * (1.0 - alpha[..., None]), mask)
+    alive = alive & ~(diff_act & (alpha >= 1.0))
+
+    if cfg.reflect_reduce_iteration:
+        consumed = act & ~refr_act
+    else:
+        consumed = act
+    bounces = jnp.where(consumed, bounces + 1, bounces)
+    alive = alive & (bounces < cfg.iterations)
+
+    return dict(
+        ro=ro, rd=rd, color=color, mask=mask,
+        absorb_dist=absorb_dist, bounces=bounces, alive=alive,
+    )

@@ -15,6 +15,8 @@ the behaviour bit-for-bit.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -193,29 +195,24 @@ def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True, t0=None):
     return t
 
 
-def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="auto"):
-    """calcInter: → (t [R], type [R] int32, idx [R] int32).
-
-    Misses report t = +inf, type = −1.
-
-    The winner search (argmin over every primitive slot) runs detached —
-    via the fused Pallas kernel when backend="pallas", else the batched jnp
-    sweep ("auto" = pallas wherever Mosaic compiles, i.e. any non-CPU
-    backend) — and the returned t is recomputed differentiably for the
-    single winning primitive per ray (t_of_winner).  This keeps the
-    backward pass O(R) instead of O(R·P).
-    """
+def resolve_backend(backend, ro):
+    """"auto" → pallas off-CPU; force "jnp" when the rays carry a varying
+    mesh type (inside shard_map): interpret-mode pallas mixes the varying
+    ray tiles with replicated grid constants, which the VMA checker rejects.
+    Per-device sweeps inside shard_map therefore use the XLA-fused jnp path
+    (validated by tests/test_sharding.py)."""
     if backend == "auto":
         backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
-    R = ro.shape[:-1]
+    if backend == "pallas" and getattr(jax.typeof(ro), "vma", None):
+        backend = "jnp"
+    return backend
+
+
+def _sweep(scene: Scene, ro, rd, one_side_planes, backend):
+    """The detached winner search: → (t0 [R] with +inf miss, ty, idx)."""
+    backend = resolve_backend(backend, ro)
     sg = jax.lax.stop_gradient
     type_tab, idx_tab = _type_tables(scene)
-    if type_tab.shape[0] == 0:
-        return (
-            jnp.full(R, jnp.inf, ro.dtype),
-            jnp.full(R, -1, jnp.int32),
-            jnp.zeros(R, jnp.int32),
-        )
     if backend == "pallas":
         from txr.kernels.pallas_intersect import nearest_hit_pallas
 
@@ -227,12 +224,67 @@ def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="auto"):
     hit = t0 < MAX_DIST
     ty = jnp.where(hit, small_take(type_tab, slot), -1)
     idx = small_take(idx_tab, slot)
-    t = t_of_winner(scene, ro, rd, ty, idx, one_side_planes,
-                    t0=jnp.where(hit, t0, jnp.inf))
-    # forward value = the exact detached min; gradients come from the
-    # winner recompute (identical value away from ties/silhouettes)
-    t = t0 + jnp.where(jnp.isfinite(t), t - sg(t), 0.0)
-    return t, ty, idx
+    return jnp.where(hit, t0, jnp.inf), ty, idx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _nearest_hit_diff(scene, ro, rd, one_side_planes, backend):
+    return _sweep(scene, ro, rd, one_side_planes, backend)
+
+
+def _nearest_hit_fwd(scene, ro, rd, one_side_planes, backend):
+    out = _sweep(scene, ro, rd, one_side_planes, backend)
+    t0, ty, idx = out
+    return out, (scene, ro, rd, t0, ty, idx)
+
+
+def _nearest_hit_bwd(one_side_planes, backend, res, g):
+    """Cotangent of t through the winner recompute (t_of_winner), O(R):
+    gathers the ONE winning primitive per ray and differentiates its
+    closed-form intersector.  The discrete (ty, idx) choice is piecewise
+    constant in the parameters, so detaching it is exact away from
+    silhouettes — the same argument as the argmin itself.  Running this
+    only here (not in the primal) keeps the forward render free of the
+    recompute; the value is identical because the primal already returns
+    the exact detached min."""
+    scene, ro, rd, t0, ty, idx = res
+    g_t = g[0]
+    g_t = jnp.where(jnp.isfinite(t0), g_t, 0.0)
+
+    def f(scene, ro, rd):
+        t = t_of_winner(scene, ro, rd, ty, idx, one_side_planes, t0=t0)
+        return jnp.where(jnp.isfinite(t), t, 0.0)
+
+    _, vjp = jax.vjp(f, scene, ro, rd)
+    return vjp(g_t)
+
+
+_nearest_hit_diff.defvjp(_nearest_hit_fwd, _nearest_hit_bwd)
+
+
+def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="auto"):
+    """calcInter: → (t [R], type [R] int32, idx [R] int32).
+
+    Misses report t = +inf, type = −1.
+
+    The winner search (argmin over every primitive slot) runs detached —
+    via the fused Pallas kernel when backend="pallas", else the batched jnp
+    sweep ("auto" = pallas wherever Mosaic compiles, i.e. any non-CPU
+    backend).  Differentiation goes through a custom VJP that recomputes
+    the single winning primitive's t per ray (t_of_winner) — O(R) instead
+    of O(R·P), and only materialised in the backward pass: a forward-only
+    render never pays for it.
+    """
+    backend = resolve_backend(backend, ro)
+    R = ro.shape[:-1]
+    type_tab, _ = _type_tables(scene)
+    if type_tab.shape[0] == 0:
+        return (
+            jnp.full(R, jnp.inf, ro.dtype),
+            jnp.full(R, -1, jnp.int32),
+            jnp.zeros(R, jnp.int32),
+        )
+    return _nearest_hit_diff(scene, ro, rd, one_side_planes, backend)
 
 
 def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=True,
@@ -252,8 +304,7 @@ def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=Tru
     only the measure-zero dependence of the UV itself on scene parameters is
     dropped relative to the jnp path).
     """
-    if backend == "auto":
-        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    backend = resolve_backend(backend, ro)
     c = scene.counts
     R = ro.shape[:-1]
 

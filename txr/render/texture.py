@@ -581,7 +581,9 @@ def sample_packed(pa: PackedAtlas, k, uv, lod=None):
     b, h0, w0, L = _meta(pa, k)
     if lod is None:
         return _fetch_level_packed(pa, b, h0, w0, uv, jnp.zeros_like(b))
-    lmax = (L - 1).astype(lod.dtype)
+    # Same BLOCK_LOD_EPS clamp as sample_block so device (either atlas
+    # flavour) and the f64 oracle agree exactly at max LOD (ADVICE r2).
+    lmax = jnp.maximum((L - 1).astype(lod.dtype) - BLOCK_LOD_EPS, 0.0)
     lod = jnp.clip(lod, 0.0, lmax)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, L - 1)

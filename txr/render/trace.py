@@ -18,6 +18,7 @@ budget even after several refraction events.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +90,15 @@ class RenderConfig:
     # tail steps); turn off to get the lean straight-line program (smaller
     # HLO, faster XLA compile) for compile-time-sensitive contexts.
     gating: bool = True
+    # Fused whole-step Pallas kernel (txr/kernels/pallas_step.py): ONE
+    # kernel per bounce step computes the nearest-hit sweep, hit info,
+    # materials, Fresnel, and per-light shading probes incl. the shadow
+    # sweeps, leaving XLA only the texture gather and the elementwise state
+    # update — the TPU analog of the reference's single fused fragment
+    # program (rt.frag:804-902).  "auto" = on whenever the sweep backend
+    # resolves to pallas (off-CPU, outside shard_map); "on"/"off" force.
+    # Gradients always go through the jnp body (custom VJP recompute).
+    fused: str = "auto"
     # Static switch for the refractive-glossy extra pass
     # (getReflectedColor, rt.frag:787-802).  It costs a full nearest-hit +
     # shade per bounce, so scenes with no refractive+reflective material
@@ -112,6 +122,33 @@ class RenderConfig:
 # SMAA preset → supersampling factor.  "low" = no AA (SMAA LOW barely
 # thresholds); "ultra" = 4×4 box filter, the strongest practical SSAA.
 AA_PRESETS = {"off": 1, "low": 1, "medium": 2, "high": 3, "ultra": 4}
+
+
+def auto_refraction_steps(scene, cap: int = 6) -> int:
+    """Scene-derived static budget for the refraction ``i--`` extension
+    steps (rt.frag:870-872).  A refraction event does not consume a bounce,
+    so the static loop length must cover iterations + the worst-case number
+    of refraction events — but a scene with NO refractive material can
+    never take the branch, and pays zero extra steps.
+
+    Call OUTSIDE jit (reads concrete material values) when building the
+    RenderConfig, e.g.::
+
+        cfg = dataclasses.replace(cfg, extra_refraction_steps=
+                                  auto_refraction_steps(scene))
+
+    ``cap`` bounds scenes that do refract: each glass traversal costs an
+    entry+exit pair, and the measured live-ray distribution on the demo
+    scene dies out well before 6 extension steps (scripts/
+    profile_breakdown.py records it each round).
+    """
+    import numpy as np
+
+    for g in (scene.spheres, scene.planes, scene.surfaces, scene.boxes,
+              scene.toruses, scene.rings):
+        if g.mat.refract.shape[0] and bool(np.any(np.asarray(g.mat.refract) > 0)):
+            return cap
+    return 0
 
 
 def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True,
@@ -427,18 +464,13 @@ def _reflected_color(scene, textures, cfg, ro, rd):
     return color
 
 
-def trace(scene, textures, cfg: RenderConfig, ro, rd):
-    """The iterative bounce loop (rt.frag:804-902).  ro, rd: [R,3] →
-    RGB [R,3]."""
-    R = ro.shape[:-1]
-    dt = ro.dtype
-
-    # Initial carry derived from the ray arrays (not fresh constants) so the
-    # values inherit the rays' device-varying sharding under shard_map —
-    # otherwise the loop carry would be replicated-in/varying-out, which the
-    # shard_map VMA check rejects.
+def initial_state(ro, rd):
+    """Loop carry for the bounce loop.  Derived from the ray arrays (not
+    fresh constants) so the values inherit the rays' device-varying sharding
+    under shard_map — otherwise the loop carry would be replicated-in/
+    varying-out, which the shard_map VMA check rejects."""
     zero = ro[..., 0] * 0.0
-    state = dict(
+    return dict(
         ro=ro,
         rd=rd,
         color=ro * 0.0,
@@ -448,9 +480,13 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         alive=zero == 0.0,
     )
 
+
+def step_jnp(scene, textures, cfg: RenderConfig, st):
+    """One bounce-loop step, jnp form: the differentiable reference body
+    (also the CPU path and the recompute target of the fused step's VJP)."""
     has_lights = scene.counts["lights_point"] > 0
 
-    def body(_, st):
+    def body(st):
         ro, rd = st["ro"], st["rd"]
         alive = st["alive"]
         color, mask = st["color"], st["mask"]
@@ -619,6 +655,70 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
             absorb_dist=absorb_dist, bounces=bounces, alive=alive,
         )
 
+    return body(st)
+
+
+def _use_fused(scene, cfg: RenderConfig, ro) -> bool:
+    """Fused Pallas step: "auto" = whenever the sweep backend resolves to
+    pallas (i.e. off-CPU) outside shard_map; "on" forces it (tests use tiny
+    CPU interpret-mode runs to validate parity); "off" disables."""
+    if cfg.fused == "off":
+        return False
+    if getattr(jax.typeof(ro), "vma", None):
+        return False          # shard_map tile: jnp body per device
+    c = scene.counts
+    if sum(c[k] for k in ("planes", "spheres", "surfaces", "boxes",
+                          "toruses", "rings", "lights_point")) == 0:
+        return False          # degenerate kernel; jnp path is trivial anyway
+    from txr.render.intersect import resolve_backend
+
+    if cfg.fused == "on":
+        return True
+    return resolve_backend(cfg.backend, ro) == "pallas"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_step(cfg, scene, textures, st):
+    from txr.render.fused import fused_step_fwd
+
+    return fused_step_fwd(scene, textures, cfg, st)
+
+
+def _fused_step_fwd(cfg, scene, textures, st):
+    return _fused_step(cfg, scene, textures, st), (scene, textures, st)
+
+
+def _fused_step_bwd(cfg, res, g):
+    """Gradients via the jnp body: the fused kernel is primal-only, so the
+    backward recomputes the step with the differentiable XLA program (the
+    same remat cost the checkpointed scan already pays) and transposes it."""
+    scene, textures, st = res
+    _, vjp = jax.vjp(lambda sc, tx, s: step_jnp(sc, tx, cfg, s),
+                     scene, textures, st)
+    return vjp(g)
+
+
+_fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)
+
+
+def make_step(scene, textures, cfg: RenderConfig):
+    """One bounce-loop step as a reusable state → state function (shared by
+    trace(), the profiler, and the fused-kernel path)."""
+
+    def body(st):
+        if _use_fused(scene, cfg, st["ro"]):
+            return _fused_step(cfg, scene, textures, st)
+        return step_jnp(scene, textures, cfg, st)
+
+    return body
+
+
+def trace(scene, textures, cfg: RenderConfig, ro, rd):
+    """The iterative bounce loop (rt.frag:804-902).  ro, rd: [R,3] →
+    RGB [R,3]."""
+    state = initial_state(ro, rd)
+    body = make_step(scene, textures, cfg)
+
     def scan_body(st, _):
         # Fragment shaders break out of the loop per pixel; a TPU batch
         # can't — but it CAN skip a whole step when every ray in the batch
@@ -626,11 +726,9 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         # for sky-dominated ray chunks).  body() is a bit-exact identity on
         # a dead batch, so the gate never changes the image.
         if cfg.gating:
-            st2 = jax.lax.cond(
-                jnp.any(st["alive"]), lambda s: body(0, s), lambda s: s, st
-            )
+            st2 = jax.lax.cond(jnp.any(st["alive"]), body, lambda s: s, st)
         else:
-            st2 = body(0, st)
+            st2 = body(st)
         return st2, None
 
     if cfg.remat:

@@ -22,7 +22,35 @@ def save_png(path, img):
 
 
 def load_image(path, dtype=np.float32):
-    """Load an image file → [H,W,4] float RGBA in [0,1] (for TextureSet)."""
+    """Load an image file → [H,W,4] float RGBA in [0,1] (for TextureSet).
+
+    Decodes PNG and baseline JPEG with the native codec (txr/native — the
+    stb_image equivalent); anything else (or progressive JPEG) falls back
+    to PIL."""
+    arr = None
+    try:
+        from txr import native
+
+        if native.AVAILABLE:
+            with open(path, "rb") as f:
+                data = f.read()
+            if data[:8] == b"\x89PNG\r\n\x1a\n":
+                arr = native.png_decode(data)
+            elif data[:2] == b"\xff\xd8":
+                arr = native.jpeg_decode(data)
+    except Exception:
+        arr = None
+    if arr is not None:
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        if arr.shape[-1] == 2:  # gray+alpha
+            a = arr[..., 1:2]
+            arr = np.concatenate([np.repeat(arr[..., :1], 3, axis=-1), a], -1)
+        if arr.shape[-1] == 3:
+            arr = np.concatenate(
+                [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)], -1)
+        return (arr.astype(np.float64) / 255.0).astype(dtype)
+
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("RGBA"), np.float64) / 255.0
