@@ -45,15 +45,18 @@ GATE_TOL, GATE_EDGE_FRAC = 2e-3, 0.015
 CALL_LATENCY_S = 0.024           # measured tunnel round-trip floor
 
 
-def _correctness_gate(scene_fn, textures, cfg_cls, on_tpu):
-    """Render the demo scene small ON DEVICE and compare to the f64 oracle."""
+def _correctness_gate(scene_fn, textures, cfg_cls, on_tpu, extra_steps=8):
+    """Render the demo scene small ON DEVICE and compare to the f64 oracle.
+    Runs the same refraction-step budget as the perf config so the gated
+    program IS the measured program."""
     import jax
 
     from txr.render.render import render_jit
     from txr.ref.cpu_reference import render_oracle
 
     scene, _ = scene_fn(GATE_W, GATE_H)
-    cfg = cfg_cls(width=GATE_W, height=GATE_H, iterations=5)
+    cfg = cfg_cls(width=GATE_W, height=GATE_H, iterations=5,
+                  extra_refraction_steps=extra_steps)
     got = np.asarray(render_jit(scene, textures, cfg), np.float64)
     want = np.asarray(render_oracle(scene, textures, cfg), np.float64)
     diff = np.abs(got - want).max(axis=-1)
@@ -99,7 +102,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from txr.apps.demo import build_scene, demo_textures
-    from txr.render.trace import RenderConfig
+    from txr.render.trace import RenderConfig, auto_refraction_steps
     from txr.render.render import render
 
     dev = jax.devices()[0]
@@ -109,14 +112,16 @@ def main():
 
     scene, _ = build_scene(W, H)
     textures = demo_textures()
+    extra = auto_refraction_steps(scene)
     # 64K-ray chunks measured best on v5e: small enough that sky-dominated
     # chunks die early (the cond gates), large enough to fill the VPU
     cfg = RenderConfig(width=W, height=H, iterations=5,
+                       extra_refraction_steps=extra,
                        ray_chunk=(1 << 16) if on_tpu else 0)
     n_rays = W * H
 
     gate_ok, gate_frac = _correctness_gate(
-        build_scene, textures, RenderConfig, on_tpu
+        build_scene, textures, RenderConfig, on_tpu, extra_steps=extra
     )
     if not gate_ok:
         print(json.dumps({

@@ -69,27 +69,21 @@ def main():
         print(f"{name:44s} {t*1e3:9.1f} ms/frame  ({n_rays/t/1e6:7.2f} Mrays/s)",
               file=sys.stderr)
 
-    base = RenderConfig(width=W, height=H, iterations=5)
+    base = RenderConfig(width=W, height=H, iterations=5,
+                        extra_refraction_steps=4)
     variants = [
-        ("fused wholeframe extra=8", dataclasses.replace(base, ray_chunk=0)),
-        ("fused wholeframe extra=4",
-         dataclasses.replace(base, ray_chunk=0, extra_refraction_steps=4)),
-        ("fused wholeframe extra=2",
-         dataclasses.replace(base, ray_chunk=0, extra_refraction_steps=2)),
-        ("fused chunk=64K extra=8",
-         dataclasses.replace(base, ray_chunk=1 << 16)),
         ("fused chunk=64K extra=4",
-         dataclasses.replace(base, ray_chunk=1 << 16, extra_refraction_steps=4)),
+         dataclasses.replace(base, ray_chunk=1 << 16)),
+        ("fused chunk=128K extra=4",
+         dataclasses.replace(base, ray_chunk=1 << 17)),
         ("fused chunk=256K extra=4",
-         dataclasses.replace(base, ray_chunk=1 << 18, extra_refraction_steps=4)),
-        ("fused chunk=512K extra=4",
-         dataclasses.replace(base, ray_chunk=1 << 19, extra_refraction_steps=4)),
-        ("fused wholeframe extra=4 nogate",
-         dataclasses.replace(base, ray_chunk=0, extra_refraction_steps=4,
-                             gating=False)),
-        ("fused wholeframe extra=4 noremat",
-         dataclasses.replace(base, ray_chunk=0, extra_refraction_steps=4,
-                             remat=False)),
+         dataclasses.replace(base, ray_chunk=1 << 18)),
+        ("fused wholeframe extra=4",
+         dataclasses.replace(base, ray_chunk=0)),
+        ("fused chunk=64K extra=2",
+         dataclasses.replace(base, ray_chunk=1 << 16, extra_refraction_steps=2)),
+        ("fused chunk=64K extra=6",
+         dataclasses.replace(base, ray_chunk=1 << 16, extra_refraction_steps=6)),
     ]
     for name, cfg in variants:
         try:

@@ -72,7 +72,10 @@ def test_block_lod_none_is_level0():
     )
 
 
-def test_with_mips_merges_cubemap():
+def test_with_mips_keeps_cubemap_separate():
+    """The cubemap stays OUT of the scene atlas: environment fetches are
+    deferred to one post-loop pass, and the standalone 6-face atlas is a
+    small table with ~4x the gather throughput (gather_bench r3)."""
     rng = np.random.default_rng(3)
     ts = TextureSet(
         sphere=(_rand_tex(rng, 16, 32),),
@@ -80,10 +83,10 @@ def test_with_mips_merges_cubemap():
     )
     out = with_mips(ts)
     sa = out.atlas2d
-    assert sa is not None and sa.cube_base == 1
-    assert out.cubemap_packed is None
-    assert len(sa.pa.base) == 7  # 1 sphere + 6 faces
-    assert sa.pa.clamp == (0, 1, 1, 1, 1, 1, 1)
+    assert sa is not None and sa.cube_base is None
+    assert len(sa.pa.base) == 1           # only the sphere texture
+    assert out.cubemap_packed is not None
+    assert len(out.cubemap_packed.base) == 6
 
 
 def test_block_matches_quad_trilinear_clamp():
@@ -109,3 +112,24 @@ def test_block_matches_quad_trilinear_clamp():
     want = sample_packed(pa, k, uv, lod)  # sample_packed now eps-clamps too
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_block_u8_matches_f32():
+    """The RGBA8-packed storage must reproduce the f32 atlas EXACTLY —
+    both store quantize_u8 values (k/255 in f32), so the unpack path is a
+    bit-identical re-read, not an approximation."""
+    from txr.render.texture import sample_block
+
+    rng = np.random.default_rng(9)
+    texs = [_rand_tex(rng, 32, 64), _rand_tex(rng, 16, 16)]
+    ba = build_block_atlas(texs, ["repeat"] * 2)
+    assert ba.qatlas_u8 is not None
+
+    R = 4096
+    k = jnp.asarray(rng.integers(0, 2, R), jnp.int32)
+    uv = jnp.asarray(rng.random((R, 2), np.float32) * 3.0 - 1.0)
+    lod = jnp.asarray(rng.random(R, np.float32) * 5.0)
+    for l in (None, lod):
+        a = np.asarray(sample_block(ba, k, uv, l, use_u8=False))
+        b = np.asarray(sample_block(ba, k, uv, l, use_u8=True))
+        np.testing.assert_array_equal(a, b)

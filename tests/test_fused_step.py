@@ -101,3 +101,35 @@ def test_fused_grad_matches_jnp():
             cos = float(np.dot(a, b) / (na * nb + 1e-30))
             assert cos > 0.99, f"{name}: cosine {cos:.4f}"
             assert 0.9 < na / nb < 1.1, f"{name}: norm ratio {na/nb:.3f}"
+
+
+def test_fused_compaction_path(monkeypatch):
+    """Force the block-compact fetch path (per-block any + block gather +
+    block scatter-back) at tiny sizes and check it matches the full-fetch
+    image exactly (compaction changes row traffic, never consumed values)."""
+    from txr.render import fused
+
+    scene, _ = build_scene(32, 18)     # R = 576 = 36 blocks of 16
+    textures = demo_textures()
+    cfg, _ = _cfgs(fused="on")
+
+    img_full = np.asarray(jax.jit(lambda s: render(s, textures, cfg))(scene))
+    monkeypatch.setattr(fused, "_COMPACT_MIN_R", 16)
+    monkeypatch.setattr(fused, "_COMPACT_BLOCK", 16)
+    img_comp = np.asarray(jax.jit(lambda s: render(s, textures, cfg))(scene))
+    np.testing.assert_allclose(img_comp, img_full, rtol=0, atol=1e-6)
+
+
+def test_tiled_ray_order_matches(monkeypatch):
+    """Tiled ray order (screen-tile-major, render.TILE_H/W) is a pure
+    permutation — the image must be identical to row-major order."""
+    from txr.render import render as rr
+
+    scene, _ = build_scene(64, 16)   # 64 % TILE_W == 0, 16 % TILE_H == 0
+    textures = demo_textures()
+    cfg = RenderConfig(width=64, height=16, iterations=2,
+                       extra_refraction_steps=1)
+    img_tiled = np.asarray(jax.jit(lambda s: rr.render(s, textures, cfg))(scene))
+    monkeypatch.setattr(rr, "TILE_W", 1 << 20)   # force untiled
+    img_plain = np.asarray(jax.jit(lambda s: rr.render(s, textures, cfg))(scene))
+    np.testing.assert_allclose(img_tiled, img_plain, rtol=0, atol=1e-6)

@@ -130,7 +130,7 @@ def main():
         def loss(s):
             from txr.render.render import render
             return jnp.mean(render(s, textures, cfg) ** 2)
-        g = jax.grad(loss)(scene)
+        g = jax.grad(loss, allow_int=True)(scene)
         return (jnp.sum(jnp.abs(g.camera.pos)), jnp.sum(jnp.abs(g.spheres.pos)),
                 jnp.all(jnp.isfinite(g.camera.pos)) & jnp.all(jnp.isfinite(g.spheres.pos)))
 

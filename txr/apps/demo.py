@@ -347,8 +347,11 @@ def main(argv=None):
     scene, handles = build_scene(args.width, args.height)
     textures = demo_textures(args.assets)
     iters = args.iterations if args.iterations is not None else scene.reflect_depth
+    from txr.render.trace import auto_refraction_steps
+
     cfg = RenderConfig(width=args.width, height=args.height,
-                       iterations=iters, supersample=args.supersample)
+                       iterations=iters, supersample=args.supersample,
+                       extra_refraction_steps=auto_refraction_steps(scene))
     if args.aa:
         cfg = cfg.with_aa_preset(args.aa)
 

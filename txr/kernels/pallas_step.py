@@ -672,7 +672,11 @@ def step_probe_pallas(scene, sa, ro, rd, *, one_side=True, shadow_enabled=True,
         bases=tuple(sorted(bases.items())), n_slots=n_slots,
         n_point=n_point, n_direct=n_direct, one_side=one_side,
         shadow_enabled=shadow_enabled, do_fresnel=do_fresnel, tir=tir,
-        cube_base=(-1 if sa is None or sa.cube_base is None else sa.cube_base),
+        # environment fetches are DEFERRED to one post-loop pass
+        # (txr/render/trace.py initial_state), so the kernel never emits
+        # KIND_ENV requests; the face-uv block stays for callers that want
+        # per-step env (cube_base >= 0 re-enables it).
+        cube_base=-1,
         n_atlas=(len(sa.pa.base) if sa is not None else 1),
         pix_angle=float(pix_angle), shade_flipped=shade_flipped,
     )

@@ -148,10 +148,14 @@ class OracleScene:
             for i in range(scene.lights_direct.direction.shape[0])
         ]
 
-        self.tex_sphere = [np.asarray(t, np.float64) for t in textures.sphere]
-        self.tex_ring = None if textures.ring is None else np.asarray(textures.ring, np.float64)
-        self.tex_box = None if textures.box is None else np.asarray(textures.box, np.float64)
-        self.cubemap = None if textures.cubemap is None else np.asarray(textures.cubemap, np.float64)
+        # RGBA8 storage policy mirror (texture.quantize_u8): texels are
+        # stored u8 on the device — the reference's GL internal format —
+        # so the oracle quantises level 0 and every mip level identically.
+        q8 = _quantize_u8
+        self.tex_sphere = [q8(np.asarray(t, np.float64)) for t in textures.sphere]
+        self.tex_ring = None if textures.ring is None else q8(np.asarray(textures.ring, np.float64))
+        self.tex_box = None if textures.box is None else q8(np.asarray(textures.box, np.float64))
+        self.cubemap = None if textures.cubemap is None else q8(np.asarray(textures.cubemap, np.float64))
         self.cfg = cfg
         # mip pyramids + sample cone angle (texture.py LOD policy mirror)
         if cfg.texture_lod:
@@ -189,15 +193,26 @@ _MIP_MIN_SIZE = 4      # texture.py MIP_MIN_SIZE
 _LOD_COS_MIN = 0.125   # texture.py LOD_COS_MIN
 
 
+def _quantize_u8(x):
+    """RGBA8 storage (texture.quantize_u8 mirror): round-half-even like
+    jnp.round/np.round."""
+    return np.round(np.clip(x, 0.0, 1.0) * 255.0) / 255.0
+
+
 def _build_mips(tex):
-    """2×2 box-filtered pyramid, same stopping rule as build_mip_atlas."""
+    """2×2 box-filtered pyramid, same stopping rule as build_mip_atlas;
+    every level RGBA8-quantised (texture._mip_levels mirror — GL generates
+    mips in the u8 internal format).  Callers pass level 0 already
+    quantised."""
     levels = [tex]
     while True:
         t = levels[-1]
         H, W = t.shape[0], t.shape[1]
         if H % 2 or W % 2 or H // 2 < _MIP_MIN_SIZE or W // 2 < _MIP_MIN_SIZE:
             break
-        levels.append(t.reshape(H // 2, 2, W // 2, 2, t.shape[-1]).mean(axis=(1, 3)))
+        r = t.reshape(H // 2, 2, W // 2, 2, t.shape[-1])
+        levels.append(_quantize_u8(0.25 * (
+            r[:, 0, :, 0] + r[:, 0, :, 1] + r[:, 1, :, 0] + r[:, 1, :, 1])))
     return levels
 
 

@@ -25,7 +25,6 @@ from txr.kernels.pallas_step import (
     step_probe_pallas,
     KIND_RGBA,
     KIND_BOX,
-    KIND_ENV,
 )
 
 
@@ -44,17 +43,63 @@ def _probe(scene, textures, cfg, ro, rd, shade_flipped):
     )
 
 
-def _fetch_texels(textures, cfg, pr, ty, alive=None, env_sel=None):
-    """The single gated atlas fetch serving every textured hit type (and,
-    when the cubemap shares the atlas, the environment of miss rays) —
+# below this many lanes the compact path's overhead is not worth it;
+# module-level so tests can lower it to exercise compaction
+_COMPACT_MIN_R = 4096
+# lanes per compaction block.  Per-LANE compaction (jnp.nonzero + scatter
+# over R elements) costs ~30 ms at 2M lanes on TPU — worse than the fetch
+# it saves.  Rays are spatially coherent (textured/glossy lanes cluster on
+# the objects), so BLOCK-level compaction keeps ~the same selectivity while
+# the nonzero/scatter run over only R/B block flags.
+_COMPACT_BLOCK = 512
+
+
+def _block_compact(sample, need, args, out_feat, dtype, keep_frac=4):
+    """Evaluate ``sample(*args)`` only for blocks of lanes where any lane
+    needs it.
+
+    need: [R] bool; args: per-lane arrays [R, ...]; out_feat: trailing
+    shape of sample's per-lane output.  Blocks of _COMPACT_BLOCK lanes are
+    selected with a tiny nonzero over R/B flags, gathered (few WIDE rows —
+    bandwidth-class, not row-count-class), sampled at KB·B lanes, and
+    block-scattered back.  Falls back to full width when more than
+    1/keep_frac of the blocks need the fetch.  Lanes outside ``need`` get
+    placeholder values — never consumed, so this changes row traffic, not
+    values."""
+    R = need.shape[0]
+    B = _COMPACT_BLOCK
+    if R % B or R // B < keep_frac * 2:
+        return sample(*args)
+    nb = R // B
+    KB = max(1, nb // keep_frac)
+    needb = jnp.any(need.reshape(nb, B), axis=1)
+    cnt = jnp.sum(needb)
+
+    def compact():
+        bidx = jnp.nonzero(needb, size=KB, fill_value=nb)[0]
+        src = jnp.minimum(bidx, nb - 1)
+        args_k = [a.reshape((nb, B) + a.shape[1:])[src] for a in args]
+        flat = [a.reshape((KB * B,) + a.shape[2:]) for a in args_k]
+        texk = sample(*flat).reshape((KB, B) + out_feat)
+        base = jnp.ones((nb + 1, B) + out_feat, dtype)
+        return base.at[bidx].set(texk)[:nb].reshape((R,) + out_feat)
+
+    def full():
+        return sample(*args)
+
+    return jax.lax.cond(cnt <= KB, compact, full)
+
+
+def _fetch_texels(textures, cfg, pr, ty, alive=None):
+    """The single gated atlas fetch serving every textured hit type —
     hit_info's unified fetch, fed by the kernel's requests.  Sphere lanes
     carry the texturing-rotated normal (Mosaic lacks atan2/asin); the
     spherical UV is finished here.
 
-    ``alive``/``env_sel`` tighten the skip gate: texel values on lanes
-    outside them are never consumed, so the fetch may be skipped whenever
-    no live lane requests one (the gate changes WHEN we fetch, never what
-    any consumed lane sees)."""
+    ``alive`` tightens the skip gate: texel values on lanes outside it are
+    never consumed, so the fetch may be skipped whenever no live lane
+    requests one (the gate changes WHEN we fetch, never what any consumed
+    lane sees)."""
     sa = textures.atlas2d
     if sa is None:
         return None
@@ -62,16 +107,27 @@ def _fetch_texels(textures, cfg, pr, ty, alive=None, env_sel=None):
     need = (kind == KIND_RGBA) | (kind == KIND_BOX)
     if alive is not None:
         need = need & alive
-    if env_sel is not None and sa.cube_base is not None:
-        need = need | ((kind == KIND_ENV) & env_sel)
     req = pr["req"]
     sphere_tex = (kind == KIND_RGBA) & (ty == TYPE_SPHERE)
     uv = jnp.where(sphere_tex[..., None], tx.sphere_uv(req), req[..., :2])
     lod = pr["lod"] if cfg.texture_lod else None
     k = jnp.clip(pr["req_k"], 0, len(sa.pa.base) - 1)
+    R = pr["t"].shape[0]
+    dt = pr["t"].dtype
+
+    if lod is None:
+        sample = lambda k_, uv_: tx.sample_atlas(sa.pa, k_, uv_, None,
+                                                 use_u8=True)
+        args = (k, uv)
+    else:
+        sample = lambda k_, uv_, l_: tx.sample_atlas(sa.pa, k_, uv_, l_,
+                                                     use_u8=True)
+        args = (k, uv, lod)
 
     def fetch():
-        return tx.sample_atlas(sa.pa, k, uv, lod)
+        if R <= _COMPACT_MIN_R:  # tiny batches: not worth the overhead
+            return sample(*args)
+        return _block_compact(sample, need, args, (4,), dt, keep_frac=2)
 
     if cfg.gating:
         ones = jnp.broadcast_to(
@@ -116,7 +172,17 @@ def _shade_from_probes(scene, textures, cfg, pr, mcol):
             needa = rh & textured
 
             def alpha_fetch():
-                a = tx.sample_ring_texture(textures, ruv)[..., 3]
+                flat = needa.reshape(-1)
+                ruv_f = ruv.reshape(-1, 2)
+                N = flat.shape[0]
+                sample = lambda uv_: tx.sample_ring_texture(
+                    textures, uv_, use_u8=True)[..., 3]
+                if N <= _COMPACT_MIN_R:
+                    a = sample(ruv_f)
+                else:
+                    a = _block_compact(
+                        sample, flat, (ruv_f,), (), sh.dtype, keep_frac=4)
+                a = a.reshape(needa.shape)
                 return jnp.sum(jnp.where(needa, a, 0.0), axis=-1)
 
             if cfg.gating:
@@ -177,8 +243,6 @@ def fused_reflected_color(scene, textures, cfg, ro, rd):
 
 def fused_step_fwd(scene, textures, cfg, st):
     """One bounce step, fused-forward form — the mirror of step_jnp."""
-    from txr.render.trace import _background
-
     ro, rd = st["ro"], st["rd"]
     alive = st["alive"]
     color, mask = st["color"], st["mask"]
@@ -189,9 +253,10 @@ def fused_step_fwd(scene, textures, cfg, st):
     t = pr["t"]
     hit, ty, idx = _types_of(scene, pr)
     act = alive & hit
+    # miss → deferred environment (see trace.initial_state)
     miss = alive & ~hit
-    sa = textures.atlas2d
-    merged_env = sa is not None and sa.cube_base is not None
+    env_rd = jnp.where(miss[..., None], rd, st["env_rd"])
+    env_mask = jnp.where(miss[..., None], mask, st["env_mask"])
     alive = alive & hit
 
     if scene.counts["lights_point"]:
@@ -203,22 +268,8 @@ def fused_step_fwd(scene, textures, cfg, st):
         alive = alive & ~is_light
         act = act & ~is_light
 
-    texc = _fetch_texels(textures, cfg, pr, ty, alive=st["alive"], env_sel=miss)
+    texc = _fetch_texels(textures, cfg, pr, ty, alive=st["alive"])
     mcol, alpha = _apply_texture(pr, texc)
-
-    if merged_env:
-        color = jnp.where(miss[..., None], color + texc[..., :3] * mask, color)
-    else:
-
-        def miss_pass(color):
-            return jnp.where(
-                miss[..., None],
-                color + _background(scene, textures, rd) * mask, color)
-
-        if cfg.gating:
-            color = jax.lax.cond(jnp.any(miss), miss_pass, lambda c: c, color)
-        else:
-            color = miss_pass(color)
 
     n = pr["n"]                      # already backface-flipped in-kernel
     outside = pr["outside"]
@@ -238,11 +289,26 @@ def fused_step_fwd(scene, textures, cfg, st):
     refr_act = act & is_refractive
     glossy = refr_act & outside & (refl > 0.0)
     if cfg.refractive_glossy:
+        ro_g = shade_origin_out
+        rd_g = reflect(rd, n)
+        R = glossy.shape[0]
+
+        def _rc_full():
+            return fused_reflected_color(scene, textures, cfg, ro_g, rd_g)
+
+        def _rc():
+            # glossy lanes are rare (the reference pays getReflectedColor
+            # only on fragments taking the branch, rt.frag:851-855); probe
+            # block-compacted rays instead of the full width
+            if R <= _COMPACT_MIN_R:
+                return _rc_full()
+            return _block_compact(
+                lambda o, d: fused_reflected_color(scene, textures, cfg, o, d),
+                glossy, (ro_g, rd_g), (3,), ro_g.dtype, keep_frac=8)
 
         def glossy_pass(cm):
             color, mask = cm
-            rc = fused_reflected_color(
-                scene, textures, cfg, shade_origin_out, reflect(rd, n))
+            rc = _rc()
             color = jnp.where(
                 glossy[..., None],
                 color + rc * reflect_mult[..., None] * mask, color)
@@ -303,4 +369,5 @@ def fused_step_fwd(scene, textures, cfg, st):
     return dict(
         ro=ro, rd=rd, color=color, mask=mask,
         absorb_dist=absorb_dist, bounces=bounces, alive=alive,
+        env_rd=env_rd, env_mask=env_mask,
     )

@@ -18,6 +18,23 @@ from txr.render.texture import with_mips
 from txr.render.trace import RenderConfig, trace
 
 
+# screen-tile shape for tiled ray order: 8 rows × 64 cols = 512 lanes =
+# one fused-path compaction block (fused._COMPACT_BLOCK), so a compaction
+# block is a compact screen rectangle instead of a thin scanline strip —
+# textured/glossy/shadow lanes cluster into few blocks.
+TILE_H, TILE_W = 8, 64
+
+
+def _tile_order(x, hs, ws):
+    t = x.reshape(hs // TILE_H, TILE_H, ws // TILE_W, TILE_W, x.shape[-1])
+    return t.transpose(0, 2, 1, 3, 4).reshape(hs * ws, x.shape[-1])
+
+
+def _untile_order(x, hs, ws):
+    t = x.reshape(hs // TILE_H, ws // TILE_W, TILE_H, TILE_W, x.shape[-1])
+    return t.transpose(0, 2, 1, 3, 4).reshape(hs * ws, x.shape[-1])
+
+
 def render(scene, textures, cfg: RenderConfig):
     """→ image [H, W, 3] float32, row 0 = top."""
     # packed sampling atlases (+ mip pyramids) built once per frame inside
@@ -27,6 +44,11 @@ def render(scene, textures, cfg: RenderConfig):
     textures = with_mips(textures)
     ss = cfg.supersample
     ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, ss)
+    hs, ws = cfg.height * ss, cfg.width * ss
+    tiled = hs % TILE_H == 0 and ws % TILE_W == 0
+    if tiled:
+        ro = _tile_order(ro, hs, ws)
+        rd = _tile_order(rd, hs, ws)
     if cfg.ray_chunk:
         n = ro.shape[0]
         chunk = cfg.ray_chunk
@@ -43,6 +65,8 @@ def render(scene, textures, cfg: RenderConfig):
             color = color[:n]
     else:
         color = trace(scene, textures, cfg, ro, rd)
+    if tiled:
+        color = _untile_order(color, hs, ws)
     if ss > 1:
         # [H*ss, W*ss] sample grid, row-major → average each ss×ss block
         img = color.reshape(cfg.height, ss, cfg.width, ss, 3).mean(axis=(1, 3))

@@ -126,16 +126,37 @@ jax.tree_util.register_dataclass(
 )
 
 
+def quantize_u8(x):
+    """RGBA8 storage quantisation — the reference's texture internal format
+    (stb_image loads u8; GLWrapper.cpp:339 uploads GL_RGBA) — with a
+    straight-through gradient so texture contents stay optimisable.  Values
+    become exactly k/255 in f32, which is what the u8-packed atlas stores,
+    so the f32 (differentiable) and u8 (fused primal) sampling paths read
+    IDENTICAL values.  The f64 oracle mirrors this per mip level."""
+    q = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+    return x + jax.lax.stop_gradient(q - x)
+
+
 def _mip_levels(tex):
-    """2×2 box-filtered pyramid (the glGenerateMipmap filter); stops when a
-    side would drop below MIP_MIN_SIZE or become odd."""
-    levels = [tex]
+    """2×2 box-filtered pyramid (the glGenerateMipmap filter), every level
+    quantised to RGBA8 (GL mipmap generation operates on the u8 internal
+    format); stops when a side would drop below MIP_MIN_SIZE or become
+    odd.
+
+    The 2×2 mean is written with the exact same operand order and scaling
+    as sample_block's in-gather reconstruction (00+01+10+11, then ×0.25,
+    then quantize) so the two are BIT-identical — f32 rounding ties at
+    k+0.5 would otherwise flip between the stored and recomputed level."""
+    levels = [quantize_u8(tex)]
     while True:
         t = levels[-1]
         H, W = t.shape[0], t.shape[1]
         if H % 2 or W % 2 or H // 2 < MIP_MIN_SIZE or W // 2 < MIP_MIN_SIZE:
             break
-        levels.append(t.reshape(H // 2, 2, W // 2, 2, t.shape[-1]).mean(axis=(1, 3)))
+        r = t.reshape(H // 2, 2, W // 2, 2, t.shape[-1])
+        m = quantize_u8(0.25 * (
+            r[:, 0, :, 0] + r[:, 0, :, 1] + r[:, 1, :, 0] + r[:, 1, :, 1]))
+        levels.append(m)
     return levels
 
 
@@ -227,11 +248,17 @@ class BlockAtlas:
     w0: tuple
     levels: tuple
     clamp: tuple
+    # RGBA8 storage: the same texels with each texel's 4 channels packed
+    # into one uint32 → rows are 16 uint32 instead of 64 f32.  4× smaller
+    # table and ~3× the gather throughput (PROFILE_r3.md u8 study); used by
+    # the forward-only fused path (sample_block(use_u8=True)).  None when
+    # C != 4.  Values identical to qatlas by construction (quantize_u8).
+    qatlas_u8: object = None
 
 
 jax.tree_util.register_dataclass(
     BlockAtlas,
-    data_fields=["qatlas"],
+    data_fields=["qatlas", "qatlas_u8"],
     meta_fields=["base", "h0", "w0", "levels", "clamp"],
 )
 
@@ -286,13 +313,23 @@ def build_block_atlas(textures, wraps, mips=None):
                 )
             rows.append(q)
             off += q.shape[0]
+    qatlas = jnp.concatenate(rows, axis=0)
+    qatlas_u8 = None
+    if C == 4:
+        # pack each texel's RGBA into one uint32 (values are exactly k/255
+        # post-quantize, so round() recovers k losslessly)
+        u = jnp.round(jax.lax.stop_gradient(qatlas) * 255.0).astype(jnp.uint32)
+        u = u.reshape(u.shape[0], u.shape[1], 16, 4)
+        qatlas_u8 = (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+                     | (u[..., 3] << 24))
     return BlockAtlas(
-        qatlas=jnp.concatenate(rows, axis=0),
+        qatlas=qatlas,
         base=tuple(base),
         h0=tuple(h0),
         w0=tuple(w0),
         levels=tuple(levels),
         clamp=tuple(clamp),
+        qatlas_u8=qatlas_u8,
     )
 
 
@@ -312,11 +349,16 @@ def _sel4_cols(row, i):
     return out
 
 
-def sample_block(ba: BlockAtlas, k, uv, lod=None):
+def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
     """Trilinear (or bilinear when lod is None/0) fetch — ONE gather per ray.
 
     Matches sample_packed's 2-gather trilinear except lod is clamped to
-    L−1−BLOCK_LOD_EPS (mirrored in the CPU oracle)."""
+    L−1−BLOCK_LOD_EPS (mirrored in the CPU oracle).
+
+    use_u8: gather the RGBA8-packed storage (16 uint32 rows instead of 64
+    f32 — ~3× the gather throughput) and unpack on the VPU.  Identical
+    values (quantize_u8); no texture-content gradients, so only the
+    forward-only fused path uses it."""
     b, h0, w0, L = _meta(ba, k)
     is_clamp = small_take(jnp.asarray(ba.clamp, jnp.int32), k) == 1
     dt = uv.dtype
@@ -362,8 +404,15 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None):
 
     # pair-level p = l0+1 row offset within the texture: h0 − (h0 >> l0)
     row = b + (h0 - jnp.right_shift(h0, l0)) + gv
-    q = ba.qatlas[row, gu]                                  # the ONE gather
-    blk = q.reshape(q.shape[:-1] + (4, 4, q.shape[-1] // 16))
+    if use_u8 and ba.qatlas_u8 is not None:
+        qi = ba.qatlas_u8[row, gu]                          # [...,16] uint32
+        ch = [((qi >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(dt) / 255.0
+              for s in (0, 8, 16, 24)]
+        q = jnp.stack(ch, axis=-1)                          # [...,16,4]
+        blk = q.reshape(q.shape[:-2] + (4, 4, 4))
+    else:
+        q = ba.qatlas[row, gu]                              # the ONE gather
+        blk = q.reshape(q.shape[:-1] + (4, 4, q.shape[-1] // 16))
 
     # level-l0 bilinear quad (selects within the block)
     ra = _sel4_rows(blk, tv)
@@ -374,13 +423,16 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None):
     c11 = _sel4_cols(rb, tu + 1)
     lo = (c00 * (1 - fu) + c01 * fu) * (1 - fv) + (c10 * (1 - fu) + c11 * fu) * fv
 
-    # level-l1 quad = the four 2×2 block means (the pyramid's own filter)
-    m = 0.25 * (
+    # level-l1 quad = the four 2×2 block means (the pyramid's own filter),
+    # re-quantised to RGBA8 exactly like the stored pyramid levels
+    # (_mip_levels) so the one-gather reconstruction equals the stored
+    # level l0+1 bit-for-bit
+    m = quantize_u8(0.25 * (
         blk[..., 0::2, 0::2, :]
         + blk[..., 0::2, 1::2, :]
         + blk[..., 1::2, 0::2, :]
         + blk[..., 1::2, 1::2, :]
-    )                                                        # [...,2,2,C]
+    ))                                                       # [...,2,2,C]
     d00 = m[..., 0, 0, :]
     d01 = jnp.where((bu == 1)[..., None], m[..., 0, 1, :], d00)
     d10 = jnp.where((bv == 1)[..., None], m[..., 1, 0, :], d00)
@@ -396,10 +448,10 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None):
     return lo * (1 - f) + hi * f
 
 
-def sample_atlas(pa, k, uv, lod=None):
+def sample_atlas(pa, k, uv, lod=None, use_u8=False):
     """Dispatch: BlockAtlas (one gather) or PackedAtlas (1-2 gathers)."""
     if isinstance(pa, BlockAtlas):
-        return sample_block(pa, k, uv, lod)
+        return sample_block(pa, k, uv, lod, use_u8=use_u8)
     return sample_packed(pa, k, uv, lod)
 
 
@@ -450,20 +502,29 @@ def with_mips(textures: TextureSet) -> TextureSet:
         (jnp.shape(t)[0] % 2) or (jnp.shape(t)[1] % 2) for t in texs
     )
     if not odd_repeat:
+        # The cubemap deliberately stays OUT of the scene atlas: environment
+        # fetches are deferred to one post-loop pass (trace.initial_state),
+        # and a standalone 6-face atlas is a SMALL table — measured ~4x the
+        # gather throughput of the big 2D atlas (scripts/gather_bench.py:
+        # 430 vs ~60-150 Mrows/s).  Merging it (r2's design) only paid when
+        # env shared the per-step fetch.
         wraps = ["repeat"] * n_2d
         mips = [True] * n_2d
-        if textures.cubemap is not None:
-            cube_base = len(texs)
-            texs = texs + [textures.cubemap[f] for f in range(6)]
-            wraps += ["clamp"] * 6
-            mips += [False] * 6
         return dataclasses.replace(
             textures,
             atlas2d=(
                 SceneAtlas(build_block_atlas(texs, wraps, mips), n_sphere,
-                           box_slot, ring_slot, cube_base)
+                           box_slot, ring_slot, None)
                 if texs
                 else None
+            ),
+            cubemap_packed=(
+                None
+                if textures.cubemap is None
+                else build_packed_atlas(
+                    [quantize_u8(textures.cubemap[f]) for f in range(6)],
+                    wrap="clamp", mips=False
+                )
             ),
         )
     return dataclasses.replace(
@@ -478,7 +539,8 @@ def with_mips(textures: TextureSet) -> TextureSet:
             None
             if textures.cubemap is None
             else build_packed_atlas(
-                [textures.cubemap[f] for f in range(6)], wrap="clamp", mips=False
+                [quantize_u8(textures.cubemap[f]) for f in range(6)],
+                wrap="clamp", mips=False
             )
         ),
     )
@@ -724,7 +786,8 @@ def sample_box_texture(textures: TextureSet, pt, normal, box_pos, box_quat, fw=N
     )
 
 
-def sample_ring_texture(textures: TextureSet, uv, fw=None, r1_sq=None, r2_sq=None):
+def sample_ring_texture(textures: TextureSet, uv, fw=None, r1_sq=None, r2_sq=None,
+                        use_u8=False):
     """texture(texture_ring, uv) (rt.frag:395-397)."""
     sa = textures.atlas2d
     if sa is not None and sa.ring_slot is not None:
@@ -732,7 +795,7 @@ def sample_ring_texture(textures: TextureSet, uv, fw=None, r1_sq=None, r2_sq=Non
         lod = None
         if fw is not None:
             lod = lod_ring(fw, r1_sq, r2_sq, textures.ring.shape[:2])
-        return sample_atlas(sa.pa, k, uv, lod)
+        return sample_atlas(sa.pa, k, uv, lod, use_u8=use_u8)
     return sample_bilinear(textures.ring, uv)
 
 

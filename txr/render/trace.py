@@ -422,6 +422,10 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True,
 
 
 def _background(scene, textures, rd):
+    sa = textures.atlas2d
+    if sa is not None and getattr(sa, "cube_base", None) is not None:
+        face, uv = tx._cube_face_uv(rd)
+        return tx.sample_atlas(sa.pa, sa.cube_base + face, uv, None)[..., :3]
     if textures.cubemap_packed is not None:
         return tx.sample_cubemap_packed(textures.cubemap_packed, rd)
     if textures.cubemap is not None:
@@ -478,6 +482,13 @@ def initial_state(ro, rd):
         absorb_dist=zero,
         bounces=zero.astype(jnp.int32),    # the GLSL `i`
         alive=zero == 0.0,
+        # deferred environment: a ray misses at most once (it dies), so the
+        # cubemap term env(rd)·mask is recorded here and fetched ONCE after
+        # the loop instead of once per step — removing several full-width
+        # gather passes per frame (gathers are the frame bottleneck,
+        # PROFILE_r3.md).
+        env_rd=rd,
+        env_mask=ro * 0.0,
     )
 
 
@@ -497,14 +508,13 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
         hit = jnp.isfinite(t)
         act = alive & hit
 
-        # -- miss → environment (rt.frag:892-895).  When the cubemap lives
-        # in the scene atlas its fetch merges into hit_info's single fetch
-        # pass (hi["env"]); otherwise it is its own (gated) gather pass.
+        # -- miss → environment (rt.frag:892-895), DEFERRED: record
+        # (rd, mask) for the single post-loop env fetch (trace()) instead
+        # of fetching per step — a ray misses at most once, and gathers are
+        # the frame bottleneck (PROFILE_r3.md).
         miss = alive & ~hit
-        sa = textures.atlas2d
-        merged_env = (
-            sa is not None and getattr(sa, "cube_base", None) is not None
-        )
+        st_env_rd = jnp.where(miss[..., None], rd, st["env_rd"])
+        st_env_mask = jnp.where(miss[..., None], mask, st["env_mask"])
         alive = alive & hit
 
         # -- light bulb hit (rt.frag:829-832)
@@ -519,27 +529,7 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
             act = act & ~is_light
 
         hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg),
-                      gate=cfg.gating, miss=miss if merged_env else None)
-
-        if merged_env:
-            color = jnp.where(
-                miss[..., None], color + hi["env"] * mask, color
-            )
-        else:
-
-            def miss_pass(color):
-                return jnp.where(
-                    miss[..., None],
-                    color + _background(scene, textures, rd) * mask,
-                    color,
-                )
-
-            if cfg.gating:
-                color = jax.lax.cond(
-                    jnp.any(miss), miss_pass, lambda c: c, color
-                )
-            else:
-                color = miss_pass(color)
+                      gate=cfg.gating)
         n = hi["normal"]
         outside = jnp.sum(rd * n, axis=-1) < 0.0     # rt.frag:837
         n = jnp.where(outside[..., None], n, -n)
@@ -653,6 +643,7 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
         return dict(
             ro=ro, rd=rd, color=color, mask=mask,
             absorb_dist=absorb_dist, bounces=bounces, alive=alive,
+            env_rd=st_env_rd, env_mask=st_env_mask,
         )
 
     return body(st)
@@ -734,4 +725,14 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
     if cfg.remat:
         scan_body = jax.checkpoint(scan_body)
     state, _ = jax.lax.scan(scan_body, state, None, length=cfg.max_steps)
-    return state["color"]
+
+    # the single deferred environment fetch (see initial_state)
+    def env_pass(color):
+        return color + _background(scene, textures, state["env_rd"]) * state["env_mask"]
+
+    if cfg.gating:
+        return jax.lax.cond(
+            jnp.any(state["env_mask"] > 0.0), env_pass, lambda c: c,
+            state["color"],
+        )
+    return env_pass(state["color"])
