@@ -113,11 +113,13 @@ def main():
     scene, _ = build_scene(W, H)
     textures = demo_textures()
     extra = auto_refraction_steps(scene)
-    # 64K-ray chunks measured best on v5e: small enough that sky-dominated
-    # chunks die early (the cond gates), large enough to fill the VPU
+    # 512K-ray chunks measured best on v5e for the fused path (r3 sweep,
+    # scripts/fused_decomp3.py): big enough to amortise per-step launch
+    # overhead, small enough that step-level block compaction and the
+    # chunk gates keep dead work off the device
     cfg = RenderConfig(width=W, height=H, iterations=5,
                        extra_refraction_steps=extra,
-                       ray_chunk=(1 << 16) if on_tpu else 0)
+                       ray_chunk=(1 << 19) if on_tpu else 0)
     n_rays = W * H
 
     gate_ok, gate_frac = _correctness_gate(

@@ -133,3 +133,21 @@ def test_tiled_ray_order_matches(monkeypatch):
     monkeypatch.setattr(rr, "TILE_W", 1 << 20)   # force untiled
     img_plain = np.asarray(jax.jit(lambda s: rr.render(s, textures, cfg))(scene))
     np.testing.assert_allclose(img_tiled, img_plain, rtol=0, atol=1e-6)
+
+
+def test_step_compaction_matches(monkeypatch):
+    """Step-level block compaction (gather alive blocks -> step -> scatter
+    back) must be exact: the step body is an identity on dead rays."""
+    from txr.render import fused
+    from txr.render import trace as tr
+
+    scene, _ = build_scene(64, 16)
+    textures = demo_textures()
+    cfg = RenderConfig(width=64, height=16, iterations=3,
+                       extra_refraction_steps=2, fused="off", backend="jnp")
+
+    img_plain = np.asarray(jax.jit(lambda s: render(s, textures, cfg))(scene))
+    monkeypatch.setattr(tr, "_STEP_COMPACT_MIN_R", 64)
+    monkeypatch.setattr(fused, "_COMPACT_BLOCK", 16)
+    img_comp = np.asarray(jax.jit(lambda s: render(s, textures, cfg))(scene))
+    np.testing.assert_allclose(img_comp, img_plain, rtol=0, atol=1e-6)

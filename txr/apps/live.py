@@ -17,10 +17,8 @@ then open the printed URL (ssh -L the port when remote).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import io
 import json
-import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

@@ -692,14 +692,65 @@ def _fused_step_bwd(cfg, res, g):
 _fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)
 
 
+# step-level block compaction: below this ray count the gather/scatter
+# overhead beats the savings (mirrors fused._COMPACT_MIN_R)
+_STEP_COMPACT_MIN_R = 1 << 17
+
+
+def _block_compact_step(step, st, block):
+    """Run ``step`` only on blocks of lanes with a live ray.
+
+    The bounce-step body is a bit-exact identity on dead rays (the gating
+    invariant), so gathering the alive blocks of the carry, stepping the
+    compacted batch, and scattering the results back reproduces the full
+    step exactly — while the probe kernel, texture fetches, and elementwise
+    update all run at the compacted width.  After the primary bounce only
+    ~28% → 8% → 3% of rays are alive (PROFILE_r3.md), and tiled ray order
+    (render.TILE_H/W) clusters them into few blocks."""
+    alive = st["alive"]
+    R = alive.shape[0]
+    if R % block or R // block < 8:
+        return step(st)
+    nb = R // block
+    KB = nb // 2
+    aliveb = jnp.any(alive.reshape(nb, block), axis=1)
+    cnt = jnp.sum(aliveb)
+
+    def blk(a):
+        return a.reshape((nb, block) + a.shape[1:])
+
+    def compact(st):
+        bidx = jnp.nonzero(aliveb, size=KB, fill_value=nb)[0]
+        src = jnp.minimum(bidx, nb - 1)
+        stc = jax.tree_util.tree_map(
+            lambda a: blk(a)[src].reshape((KB * block,) + a.shape[1:]), st)
+        stc2 = step(stc)
+        return jax.tree_util.tree_map(
+            lambda full, new: blk(full)
+            .at[bidx]
+            .set(new.reshape((KB, block) + new.shape[1:]), mode="drop")
+            .reshape(full.shape),
+            st, stc2)
+
+    return jax.lax.cond(cnt <= KB, compact, step, st)
+
+
 def make_step(scene, textures, cfg: RenderConfig):
     """One bounce-loop step as a reusable state → state function (shared by
     trace(), the profiler, and the fused-kernel path)."""
 
-    def body(st):
+    def raw_step(st):
         if _use_fused(scene, cfg, st["ro"]):
             return _fused_step(cfg, scene, textures, st)
         return step_jnp(scene, textures, cfg, st)
+
+    def body(st):
+        R = st["alive"].shape[0]
+        if cfg.gating and R > _STEP_COMPACT_MIN_R:
+            from txr.render.fused import _COMPACT_BLOCK
+
+            return _block_compact_step(raw_step, st, _COMPACT_BLOCK)
+        return raw_step(st)
 
     return body
 
