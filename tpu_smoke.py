@@ -106,16 +106,19 @@ def main():
           f"{slot_agree:.4%} -> {'PASS' if sweep_ok else 'FAIL'}", file=sys.stderr)
 
     # 3. fused step vs jnp body on-device
-    tx = with_mips(textures)
     ro_p, rd_p = primary_rays(scene.camera, GATE_W, GATE_H, 1)
 
-    @jax.jit
-    def both_traces(scene, ro, rd):
-        cf = dataclasses.replace(cfg, fused="on")
-        cj = dataclasses.replace(cfg, fused="off", backend="jnp")
-        return (trace(scene, tx, cf, ro, rd), trace(scene, tx, cj, ro, rd))
-
-    img_f, img_j = map(np.asarray, both_traces(scene, ro_p, rd_p))
+    # two separate executables (one program holding both paths exceeds the
+    # remote-compile upload limit), textures as ARGUMENTS (closure constants
+    # bake the 60MB atlas into the program and also trip the limit)
+    cf = dataclasses.replace(cfg, fused="on")
+    cj = dataclasses.replace(cfg, fused="off", backend="jnp")
+    img_f = np.asarray(jax.jit(
+        lambda s, t, o, d: trace(s, with_mips(t), cf, o, d))(
+            scene, textures, ro_p, rd_p))
+    img_j = np.asarray(jax.jit(
+        lambda s, t, o, d: trace(s, with_mips(t), cj, o, d))(
+            scene, textures, ro_p, rd_p))
     dstep = np.abs(img_f - img_j).max(axis=-1)
     frac_step = float((dstep > GATE_TOL).mean())
     fused_ok = bool(frac_step <= GATE_EDGE_FRAC) and bool(np.isfinite(img_f).all())

@@ -201,9 +201,10 @@ def _quantize_u8(x):
 
 def _build_mips(tex):
     """2×2 box-filtered pyramid, same stopping rule as build_mip_atlas;
-    every level RGBA8-quantised (texture._mip_levels mirror — GL generates
-    mips in the u8 internal format).  Callers pass level 0 already
-    quantised."""
+    every level RGBA8-quantised with the INTEGER-exact downsample
+    (a+b+c+d+2)>>2 (texture.mip_down_u8 mirror) — float means tie at
+    k+0.5 for a quarter of quads and f32/f64 would break ties
+    differently.  Callers pass level 0 already quantised."""
     levels = [tex]
     while True:
         t = levels[-1]
@@ -211,8 +212,11 @@ def _build_mips(tex):
         if H % 2 or W % 2 or H // 2 < _MIP_MIN_SIZE or W // 2 < _MIP_MIN_SIZE:
             break
         r = t.reshape(H // 2, 2, W // 2, 2, t.shape[-1])
-        levels.append(_quantize_u8(0.25 * (
-            r[:, 0, :, 0] + r[:, 0, :, 1] + r[:, 1, :, 0] + r[:, 1, :, 1])))
+        si = (np.round(r[:, 0, :, 0] * 255.0).astype(np.int64)
+              + np.round(r[:, 0, :, 1] * 255.0).astype(np.int64)
+              + np.round(r[:, 1, :, 0] * 255.0).astype(np.int64)
+              + np.round(r[:, 1, :, 1] * 255.0).astype(np.int64))
+        levels.append(((si + 2) >> 2).astype(t.dtype) / 255.0)
     return levels
 
 

@@ -137,16 +137,27 @@ def quantize_u8(x):
     return x + jax.lax.stop_gradient(q - x)
 
 
+def mip_down_u8(a, b, c, d, dt):
+    """Integer-exact RGBA8 2×2 box downsample: (a+b+c+d+2) >> 2 on the u8
+    code values — the only tie-proof formula.  A float mean of four u8
+    values is EXACTLY k+0.5 for a quarter of all texel quads, and the f32
+    device, the f64 oracle, and the in-gather block reconstruction would
+    each break the rounding tie by their own representation noise; integer
+    arithmetic is identical everywhere.  Inputs are quantised levels
+    (values exactly k/255), output is the next level's f32 values."""
+    si = (jnp.round(a * 255.0).astype(jnp.int32)
+          + jnp.round(b * 255.0).astype(jnp.int32)
+          + jnp.round(c * 255.0).astype(jnp.int32)
+          + jnp.round(d * 255.0).astype(jnp.int32))
+    return ((si + 2) >> 2).astype(dt) / 255.0
+
+
 def _mip_levels(tex):
     """2×2 box-filtered pyramid (the glGenerateMipmap filter), every level
-    quantised to RGBA8 (GL mipmap generation operates on the u8 internal
-    format); stops when a side would drop below MIP_MIN_SIZE or become
-    odd.
-
-    The 2×2 mean is written with the exact same operand order and scaling
-    as sample_block's in-gather reconstruction (00+01+10+11, then ×0.25,
-    then quantize) so the two are BIT-identical — f32 rounding ties at
-    k+0.5 would otherwise flip between the stored and recomputed level."""
+    quantised to RGBA8 (GL generates mips in the u8 internal format);
+    stops when a side would drop below MIP_MIN_SIZE or become odd.
+    Downsampling is integer-exact (mip_down_u8); the straight-through
+    payload keeps texture-content gradients flowing via the float mean."""
     levels = [quantize_u8(tex)]
     while True:
         t = levels[-1]
@@ -154,9 +165,10 @@ def _mip_levels(tex):
         if H % 2 or W % 2 or H // 2 < MIP_MIN_SIZE or W // 2 < MIP_MIN_SIZE:
             break
         r = t.reshape(H // 2, 2, W // 2, 2, t.shape[-1])
-        m = quantize_u8(0.25 * (
-            r[:, 0, :, 0] + r[:, 0, :, 1] + r[:, 1, :, 0] + r[:, 1, :, 1]))
-        levels.append(m)
+        a, b, c, d = r[:, 0, :, 0], r[:, 0, :, 1], r[:, 1, :, 0], r[:, 1, :, 1]
+        mean = 0.25 * (a + b + c + d)
+        q = mip_down_u8(a, b, c, d, t.dtype)
+        levels.append(mean + jax.lax.stop_gradient(q - mean))
     return levels
 
 
@@ -423,16 +435,16 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
     c11 = _sel4_cols(rb, tu + 1)
     lo = (c00 * (1 - fu) + c01 * fu) * (1 - fv) + (c10 * (1 - fu) + c11 * fu) * fv
 
-    # level-l1 quad = the four 2×2 block means (the pyramid's own filter),
-    # re-quantised to RGBA8 exactly like the stored pyramid levels
-    # (_mip_levels) so the one-gather reconstruction equals the stored
-    # level l0+1 bit-for-bit
-    m = quantize_u8(0.25 * (
-        blk[..., 0::2, 0::2, :]
-        + blk[..., 0::2, 1::2, :]
-        + blk[..., 1::2, 0::2, :]
-        + blk[..., 1::2, 1::2, :]
-    ))                                                       # [...,2,2,C]
+    # level-l1 quad = the four 2×2 block means, via the pyramid's own
+    # integer-exact filter (mip_down_u8) so the one-gather reconstruction
+    # equals the stored level l0+1 bit-for-bit
+    a_ = blk[..., 0::2, 0::2, :]
+    b_ = blk[..., 0::2, 1::2, :]
+    c_ = blk[..., 1::2, 0::2, :]
+    d_ = blk[..., 1::2, 1::2, :]
+    mean_ = 0.25 * (a_ + b_ + c_ + d_)
+    q_ = mip_down_u8(a_, b_, c_, d_, dt)
+    m = mean_ + jax.lax.stop_gradient(q_ - mean_)            # [...,2,2,C]
     d00 = m[..., 0, 0, :]
     d01 = jnp.where((bu == 1)[..., None], m[..., 0, 1, :], d00)
     d10 = jnp.where((bv == 1)[..., None], m[..., 1, 0, :], d00)
