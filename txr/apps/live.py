@@ -147,18 +147,41 @@ def main(argv=None):
                     help="exit after this many seconds (0 = run forever)")
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TXR_COMPILE_CACHE", "/root/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from txr.apps.demo import build_scene, demo_textures, update_scene
-    from txr.render.render import render_jit
     from txr.render.trace import RenderConfig, auto_refraction_steps
     from txr.scene.camera import FlyCamera
+
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from txr.render.render import render
+    from txr.scene.types import Camera
 
     scene0, handles = build_scene(args.width, args.height)
     textures = demo_textures()
     iters = args.iterations if args.iterations is not None else scene0.reflect_depth
     cfg = RenderConfig(width=args.width, height=args.height, iterations=iters,
                        extra_refraction_steps=auto_refraction_steps(scene0))
+
+    # ONE jitted call per frame: animation + camera pose + render fused into
+    # a single dispatch (eager per-op dispatch through the TPU tunnel is the
+    # frame-loop bottleneck, not the render)
+    @jax.jit
+    def frame(scene0, textures, t, cam_pos, cam_quat):
+        s = scene0 if args.no_animate else update_scene(
+            scene0, handles, jnp.float32(0.0), t)
+        s = dc.replace(s, camera=Camera(pos=cam_pos, quat=cam_quat))
+        return render(s, textures, cfg)
 
     cam = FlyCamera(position=tuple(np.asarray(scene0.camera.pos)))
     state = _State()
@@ -191,11 +214,8 @@ def main(argv=None):
             for k in all_keys:
                 cam.key(k, k in pressed)
             cam.update(dt)
-            t = 0.0 if args.no_animate else now - t0
-            scene = scene0 if args.no_animate else update_scene(
-                scene0, handles, dt, t)
-            scene = cam.apply(scene)
-            img = np.asarray(render_jit(scene, textures, cfg))
+            t = np.float32(0.0 if args.no_animate else now - t0)
+            img = np.asarray(frame(scene0, textures, t, cam.pos, cam.quat))
             state.put(_encode_jpeg(img))
             frames += 1
             if frames % 30 == 0:
