@@ -175,8 +175,16 @@ def _shade_from_probes(scene, textures, cfg, pr, mcol):
                 flat = needa.reshape(-1)
                 ruv_f = ruv.reshape(-1, 2)
                 N = flat.shape[0]
-                sample = lambda uv_: tx.sample_ring_texture(
-                    textures, uv_, use_u8=True)[..., 3]
+                rap = textures.ring_alpha_packed
+                if rap is not None:
+                    # alpha-only 1MB table: ~4x the gather throughput of
+                    # the full scene atlas; same quantized level-0 values
+                    sample = lambda uv_: tx.sample_packed(
+                        rap, jnp.zeros(uv_.shape[:-1], jnp.int32), uv_,
+                        None)[..., 0]
+                else:
+                    sample = lambda uv_: tx.sample_ring_texture(
+                        textures, uv_, use_u8=True)[..., 3]
                 if N <= _COMPACT_MIN_R:
                     a = sample(ruv_f)
                 else:

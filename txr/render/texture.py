@@ -72,12 +72,18 @@ class TextureSet:
     cubemap: object = None
     atlas2d: object = None
     cubemap_packed: object = None
+    # alpha-only quad-packed copy of the ring texture for the shadow
+    # attenuation fetch (rt.frag:643-651): shadow rays need ONLY alpha, and
+    # a 1-channel 1MB table gathers ~4x faster than the full scene atlas
+    # (PROFILE_r3.md small-table study).  Values bit-identical to the scene
+    # atlas's level-0 alpha (same quantized level 0, same quad-pack lerp).
+    ring_alpha_packed: object = None
 
 
 jax.tree_util.register_dataclass(
     TextureSet,
     data_fields=["sphere", "ring", "box", "cubemap",
-                 "atlas2d", "cubemap_packed"],
+                 "atlas2d", "cubemap_packed", "ring_alpha_packed"],
     meta_fields=[],
 )
 
@@ -500,6 +506,13 @@ def with_mips(textures: TextureSet) -> TextureSet:
     odd side (see BlockAtlas limitation)."""
     if textures.atlas2d is not None or textures.cubemap_packed is not None:
         return textures
+    if textures.ring is not None:
+        textures = dataclasses.replace(
+            textures,
+            ring_alpha_packed=build_packed_atlas(
+                [quantize_u8(textures.ring)[..., 3:4]], wrap="repeat",
+                mips=False),
+        )
     texs = list(textures.sphere)
     n_sphere = len(texs)
     box_slot = ring_slot = cube_base = None
