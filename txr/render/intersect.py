@@ -287,6 +287,22 @@ def nearest_hit(scene: Scene, ro, rd, one_side_planes=True, backend="auto"):
     return _nearest_hit_diff(scene, ro, rd, one_side_planes, backend)
 
 
+def _ring_shadow_alpha(textures, uv):
+    """Ring texture alpha at the shadow-ray hit UV (rt.frag:643-651).
+    Prefers the dedicated alpha-only table (texture.TextureSet
+    .ring_alpha_packed — ~4x the gather throughput, bit-identical values);
+    falls back to the full ring sampler."""
+    rap = getattr(textures, "ring_alpha_packed", None)
+    if rap is not None:
+        from txr.render.texture import sample_packed
+
+        k = jnp.zeros(uv.shape[:-1], jnp.int32)
+        return sample_packed(rap, k, uv, None)[..., 0]
+    from txr.render.texture import sample_ring_texture
+
+    return sample_ring_texture(textures, uv)[..., 3]
+
+
 def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=True,
                   backend="auto"):
     """inShadow (rt.frag:630-658): any occluder with t < dist casts a full
@@ -323,14 +339,12 @@ def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=Tru
                 shadow, jnp.any(ring_hit & ~textured, axis=-1).astype(ro.dtype)
             )
             if textures is not None and textures.ring is not None:
-                from txr.render.texture import sample_ring_texture
-
                 need = ring_hit & textured
                 alpha_sum = jax.lax.cond(      # the alpha fetch is a gather
                     jnp.any(need),
                     lambda: jnp.sum(
                         jnp.where(
-                            need, sample_ring_texture(textures, ring_uv)[..., 3], 0.0
+                            need, _ring_shadow_alpha(textures, ring_uv), 0.0
                         ),
                         axis=-1,
                     ),
@@ -386,9 +400,7 @@ def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=Tru
                 ro[..., None, :], rd[..., None, :], t_safe,
                 r.pos, r.quat, r.r1, r.r2,
             )  # [R,P,2]
-            from txr.render.texture import sample_ring_texture
-
-            alpha = sample_ring_texture(textures, uv)[..., 3]
+            alpha = _ring_shadow_alpha(textures, uv)
             shadow = shadow + jnp.sum(
                 jnp.where(hit_r & textured, alpha, 0.0), axis=-1
             )
