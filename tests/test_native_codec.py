@@ -58,6 +58,69 @@ def test_jpeg_progressive_rejected(rng):
         native.jpeg_decode(b.getvalue())
 
 
+def _valid_jpeg_bytes(rng):
+    from PIL import Image
+
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="JPEG", quality=90)
+    return bytearray(b.getvalue())
+
+
+def _truncate_segment(data, marker, keep):
+    """Shrink the payload of the first ``marker`` segment to ``keep`` bytes
+    (patching its length field) and drop the removed bytes — a malformed but
+    length-consistent stream that must be REJECTED, not over-read."""
+    i = 2
+    while i + 4 <= len(data):
+        assert data[i] == 0xFF
+        m = data[i + 1]
+        if 0xD0 <= m <= 0xD8:
+            i += 2
+            continue
+        ln = (data[i + 2] << 8) | data[i + 3]
+        if m == marker:
+            new_len = 2 + keep
+            out = bytearray(data[: i + 2])
+            out += bytes([new_len >> 8, new_len & 0xFF])
+            out += data[i + 4 : i + 4 + keep]
+            out += data[i + 2 + ln :]
+            return bytes(out)
+        i += 2 + ln
+    raise AssertionError(f"marker {marker:#x} not found")
+
+
+@pytest.mark.parametrize("marker,keep", [
+    (0xDB, 1),   # DQT: pq/tq byte but no table payload (ADVICE r3 medium)
+    (0xDB, 30),  # DQT: partial table
+    (0xC0, 3),   # SOF0: truncated before dimensions (ADVICE r3 low)
+    (0xC0, 7),   # SOF0: truncated component list
+    (0xDA, 2),   # SOS: truncated component spec (ADVICE r3 low)
+])
+def test_jpeg_truncated_segments_rejected(rng, marker, keep):
+    data = _truncate_segment(_valid_jpeg_bytes(rng), marker, keep)
+    with pytest.raises(RuntimeError):
+        native.jpeg_decode(data)
+
+
+def test_jpeg_bad_sos_table_ids_rejected(rng):
+    """SOS td/ta are 4-bit fields but baseline allows only tables 0-3; a
+    crafted id > 3 must be rejected instead of indexing hdc[4]/hac[4] OOB
+    (ADVICE r3 medium)."""
+    data = _valid_jpeg_bytes(rng)
+    i = 2
+    while i + 4 <= len(data):
+        m = data[i + 1]
+        ln = (data[i + 2] << 8) | data[i + 3]
+        if m == 0xDA:
+            # first component's Td/Ta byte sits at payload offset 2
+            data[i + 4 + 2] = 0x77
+            break
+        i += 2 + ln
+    with pytest.raises(RuntimeError):
+        native.jpeg_decode(bytes(data))
+
+
 def test_load_image_uses_native_jpeg(rng, tmp_path):
     from PIL import Image
 

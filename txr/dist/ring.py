@@ -18,10 +18,11 @@ equals the input sharding and no gather is needed.  Communication per step is
 O(rays/n) over ICI, fully overlappable by XLA with the next step's intersect.
 
 Tie semantics: within a shard the reference's type/index order is preserved
-(txr/render/intersect.py); across shards the merge is a strict ``<`` in ring
-order, so an exact cross-shard t-tie resolves to the shard visited first
-(device-dependent).  Exact ties across shards are measure-zero; the
-replicated path remains the semantics oracle.
+(txr/render/intersect.py); across shards an exact t-tie is broken by the
+GLOBAL slot id (type-major processing order, then global primitive index) —
+the same winner the replicated sweep's first-occurrence argmin picks — so
+the result is bitwise identical for every mesh rotation / shard placement
+(VERDICT r3 weak #7).
 """
 
 from __future__ import annotations
@@ -180,6 +181,14 @@ def ring_nearest_hit(scene: Scene, ro, rd, mesh, axis=None, one_side_planes=True
     ray_spec = P(axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
+    # global slot-id bases per type (padded global counts, type-major) —
+    # the deterministic cross-shard tiebreak key
+    gbase = {}
+    acc = 0
+    for name, code in _PRIM_FIELDS:
+        gbase[code] = acc
+        acc += local_counts[name] * n
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(scene_specs, ray_spec, ray_spec),
@@ -190,6 +199,14 @@ def ring_nearest_hit(scene: Scene, ro, rd, mesh, axis=None, one_side_planes=True
         t = jnp.full(ro.shape[:-1], jnp.inf, ro.dtype)
         ty = jnp.full(ro.shape[:-1], -1, jnp.int32)
         idx = jnp.full(ro.shape[:-1], -1, jnp.int32)
+        slot = jnp.full(ro.shape[:-1], jnp.iinfo(jnp.int32).max, jnp.int32)
+
+        def gslot_of(ty, gidx):
+            """Global type-major slot id (misses → INT32_MAX)."""
+            s = jnp.full_like(gidx, jnp.iinfo(jnp.int32).max)
+            for _, code in _PRIM_FIELDS:
+                s = jnp.where(ty == code, gbase[code] + gidx, s)
+            return s
 
         for _ in range(n):
             lt, lty, lidx = nearest_hit(local_scene, ro, rd, one_side_planes, "jnp")
@@ -200,13 +217,18 @@ def ring_nearest_hit(scene: Scene, ro, rd, mesh, axis=None, one_side_planes=True
                 if local_counts[name]:
                     off = jnp.where(lty == code, me * local_counts[name], off)
             gidx = lidx + off
-            upd = lt < t
+            gslot = gslot_of(lty, gidx)
+            # exact t-tie → lower global slot wins (= the replicated argmin's
+            # first occurrence), independent of ring visit order
+            upd = (lt < t) | ((lt == t) & (gslot < slot))
             t = jnp.where(upd, lt, t)
             ty = jnp.where(upd, lty, ty)
             idx = jnp.where(upd, gidx, idx)
+            slot = jnp.where(upd, gslot, slot)
             # rotate the tile (and its carry) one hop around the ring
-            ro, rd, t, ty, idx = (
-                jax.lax.ppermute(x, axis, perm) for x in (ro, rd, t, ty, idx)
+            ro, rd, t, ty, idx, slot = (
+                jax.lax.ppermute(x, axis, perm)
+                for x in (ro, rd, t, ty, idx, slot)
             )
         return t, ty, idx
 

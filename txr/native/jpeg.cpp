@@ -317,6 +317,9 @@ uint8_t* txr_jpeg_decode(const uint8_t* data, size_t n,
                 while (seg < segend) {
                     int pq = seg[0] >> 4, tq = seg[0] & 15;
                     if (tq > 3) return nullptr;
+                    // table payload must fit in the segment (truncated DQT
+                    // would read past segend / the input buffer)
+                    if (segend - seg < 1 + (pq ? 128 : 64)) return nullptr;
                     ++seg;
                     for (int i = 0; i < 64; ++i) {
                         if (pq) { d.qt[tq][i] = (seg[0] << 8) | seg[1]; seg += 2; }
@@ -338,12 +341,14 @@ uint8_t* txr_jpeg_decode(const uint8_t* data, size_t n,
                 break;
             case 0xC0:   // SOF0 baseline
             case 0xC1: { // SOF1 extended sequential (same entropy coding)
+                if (segend - seg < 6) return nullptr;
                 if (seg[0] != 8) return nullptr;  // precision
                 d.height = (seg[1] << 8) | seg[2];
                 d.width = (seg[3] << 8) | seg[4];
                 d.ncomp = seg[5];
                 if (d.ncomp != 1 && d.ncomp != 3) return nullptr;
                 seg += 6;
+                if (segend - seg < 3 * d.ncomp) return nullptr;
                 for (int i = 0; i < d.ncomp; ++i) {
                     d.comp[i].id = seg[0];
                     d.comp[i].h = seg[1] >> 4;
@@ -360,16 +365,22 @@ uint8_t* txr_jpeg_decode(const uint8_t* data, size_t n,
             case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
                 return nullptr;  // progressive / arithmetic / lossless
             case 0xDD:  // DRI
+                if (segend - seg < 2) return nullptr;
                 d.restart_interval = (seg[0] << 8) | seg[1];
                 break;
             case 0xDA: {  // SOS
                 if (!got_sof || d.width <= 0 || d.height <= 0) return nullptr;
+                if (segend - seg < 1) return nullptr;
                 int ns = seg[0];
                 if (ns != d.ncomp) return nullptr;
                 ++seg;
+                if (segend - seg < 2 * ns) return nullptr;
                 for (int i = 0; i < ns; ++i) {
                     int cs = seg[0], tables = seg[1];
                     seg += 2;
+                    // baseline allows Huffman table ids 0-3 only; larger
+                    // values would index past hdc[4]/hac[4]
+                    if ((tables >> 4) > 3 || (tables & 15) > 3) return nullptr;
                     for (int c = 0; c < d.ncomp; ++c)
                         if (d.comp[c].id == cs) {
                             d.comp[c].td = tables >> 4;

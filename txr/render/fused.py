@@ -100,8 +100,10 @@ def _fetch_texels(textures, cfg, pr, ty, alive=None):
     never consumed, so the fetch may be skipped whenever no live lane
     requests one (the gate changes WHEN we fetch, never what any consumed
     lane sees)."""
+    from txr.utils.ablate import ablated
+
     sa = textures.atlas2d
-    if sa is None:
+    if sa is None or ablated("hitfetch"):
         return None
     kind = pr["kind"]
     need = (kind == KIND_RGBA) | (kind == KIND_BOX)
@@ -164,8 +166,10 @@ def _shade_from_probes(scene, textures, cfg, pr, mcol):
     if cfg.shadow_enabled and c["rings"] and pr["ring_hit"] is not None:
         rh = pr["ring_hit"]                                  # [R, L, nr]
         ruv = pr["ring_uv"]                                  # [R, L, nr, 2]
+        from txr.utils.ablate import ablated
+
         textured = scene.rings.texture > 0
-        have_tex = textures.ring is not None
+        have_tex = textures.ring is not None and not ablated("ringalpha")
         opaque = ~textured if have_tex else (textured | ~textured)
         sh = jnp.maximum(sh, jnp.any(rh & opaque, axis=-1).astype(sh.dtype))
         if have_tex:

@@ -320,6 +320,10 @@ def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=Tru
     only the measure-zero dependence of the UV itself on scene parameters is
     dropped relative to the jnp path).
     """
+    from txr.utils.ablate import ablated
+
+    if ablated("ringalpha"):
+        textures = None          # rings occlude as opaque; no alpha fetch
     backend = resolve_backend(backend, ro)
     c = scene.counts
     R = ro.shape[:-1]

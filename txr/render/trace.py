@@ -378,7 +378,11 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True,
         blend(sel, ri.mat, i, n, a, col)
 
     # -- the single unified fetch (then per-type colour/alpha overrides) ----
+    from txr.utils.ablate import ablated
+
     env = None
+    if ablated("hitfetch"):
+        sphere_textured = box_textured = ring_textured = env_sel = None
     if sa is not None and (
         sphere_textured is not None
         or box_textured is not None
@@ -778,6 +782,11 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
     state, _ = jax.lax.scan(scan_body, state, None, length=cfg.max_steps)
 
     # the single deferred environment fetch (see initial_state)
+    from txr.utils.ablate import ablated
+
+    if ablated("env"):
+        return state["color"]
+
     def env_pass(color):
         return color + _background(scene, textures, state["env_rd"]) * state["env_mask"]
 

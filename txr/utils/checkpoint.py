@@ -37,6 +37,22 @@ def _flatten(tree, prefix=""):
     return out
 
 
+def _atomic_savez(path, meta, arrays):
+    """Write-to-temp + rename so a crash (SIGKILL, host loss) mid-write can
+    never corrupt the last good checkpoint — the restart-world recovery
+    contract (SURVEY §5 failure detection) depends on the previous file
+    surviving any interruption of the next save."""
+    # keep the .npz suffix: np.savez would silently append one otherwise
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:
+        np.savez_compressed(tmp, __meta__=json.dumps(meta), **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return path
+
+
 def save_scene(path, scene, textures=None, extra=None):
     """Write scene (and optionally textures / extra arrays) to ``path``
     (.npz).  Returns path."""
@@ -47,8 +63,7 @@ def save_scene(path, scene, textures=None, extra=None):
         flat.update({f"extra.{k}": v for k, v in _flatten(extra).items()})
     arrays = {k: v for k, v in flat.items() if v is not None}
     meta = {"none_keys": [k for k, v in flat.items() if v is None]}
-    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
-    return path
+    return _atomic_savez(path, meta, arrays)
 
 
 def load_arrays(path):
@@ -100,8 +115,7 @@ def save_state(path, state):
     flat = _flatten(state)
     arrays = {k: v for k, v in flat.items() if v is not None}
     meta = {"none_keys": [k for k, v in flat.items() if v is None]}
-    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
-    return path
+    return _atomic_savez(path, meta, arrays)
 
 
 def restore_state(path, template):
