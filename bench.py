@@ -202,6 +202,56 @@ def main():
     except Exception as e:  # the flop model is best-effort
         print(f"# analytic cost unavailable: {e}", file=sys.stderr)
 
+    # -- edge-adaptive AA (the SMAA-replacement quality/cost point) ----------
+    aa_fields = {}
+    try:
+        aa_cfg = cfg.with_aa_preset("ultra", mode="edge")
+
+        def aa_chain():
+            def chain():
+                acc = jnp.float32(0.0)
+                for _ in range(K_FWD):
+                    s = dataclasses.replace(
+                        scene, camera=dataclasses.replace(
+                            scene.camera, pos=scene.camera.pos + acc * 1e-30
+                        )
+                    )
+                    acc = acc + jnp.sum(render(s, textures, aa_cfg))
+                return acc
+            return jax.jit(chain)
+
+        t_aa = _timed_chain(aa_chain) / K_FWD
+
+        truth = np.asarray(jax.jit(
+            lambda s: render(s, textures, dataclasses.replace(
+                cfg, supersample=6, aa_mode="ssaa")))(scene), np.float64)
+
+        def psnr(img):
+            mse = float(np.mean((np.asarray(img, np.float64) - truth) ** 2))
+            return round(10.0 * np.log10(1.0 / max(mse, 1e-12)), 2)
+
+        p_1 = psnr(jax.jit(lambda s: render(s, textures, cfg))(scene))
+        p_edge = psnr(jax.jit(lambda s: render(s, textures, aa_cfg))(scene))
+        p_ssaa4 = psnr(jax.jit(
+            lambda s: render(s, textures, dataclasses.replace(
+                cfg, supersample=4, aa_mode="ssaa")))(scene))
+        aa_fields = {
+            "aa_edge_ultra_ms": round(t_aa * 1e3, 2),
+            "aa_cost_vs_1spp": round(t_aa / t_fwd, 3),
+            "aa_psnr_1spp": p_1,
+            "aa_psnr_edge_ultra": p_edge,
+            "aa_psnr_ssaa4": p_ssaa4,
+        }
+        print(
+            f"# edge AA (ultra): {t_aa*1e3:.1f} ms = {t_aa/t_fwd:.2f}x the "
+            f"1-spp frame; PSNR vs 6x6 truth: 1spp {p_1} dB, edge-ultra "
+            f"{p_edge} dB, uniform SSAA-4x {p_ssaa4} dB",
+            file=sys.stderr,
+        )
+    except Exception as e:  # AA metrics are best-effort
+        print(f"# edge AA metrics unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # -- forward + backward ---------------------------------------------------
     target = jax.lax.stop_gradient(
         jax.jit(lambda s, t: render(s, t, cfg))(scene, textures)
@@ -254,6 +304,7 @@ def main():
         "resolution": f"{W}x{H}",
         "device": str(dev),
     }
+    result.update(aa_fields)
     result.update(fb_fields)
     print(json.dumps(result))
 

@@ -57,6 +57,8 @@ from txr.kernels.pallas_intersect import (
     _scene_operands,
     _ray_components,
     _interpret,
+    _sds,
+    _match_vma,
 )
 
 _PI = 3.14159265358979
@@ -716,14 +718,18 @@ def step_probe_pallas(scene, sa, ro, rd, *, one_side=True, shadow_enabled=True,
     f_spec = pl.BlockSpec((NF, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
     i_spec = pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
 
+    # under shard_map: pcast the replicated scene/table operands to the ray
+    # tile's varying type and declare outputs varying (pallas_intersect
+    # _sds/_match_vma) — the fused step runs per device on a real mesh
+    operands = _match_vma(operands, roT)
     f_out, i_out = pl.pallas_call(
         kernel,
         grid=(n_pad // TILE,),
         in_specs=in_specs + [ray_spec, ray_spec],
         out_specs=(f_spec, i_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((NF, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad), jnp.int32),
+            _sds((NF, n_pad), jnp.float32, roT),
+            _sds((3, n_pad), jnp.int32, roT),
         ),
         interpret=_interpret(),
     )(*operands, roT, rdT)

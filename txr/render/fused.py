@@ -43,51 +43,17 @@ def _probe(scene, textures, cfg, ro, rd, shade_flipped):
     )
 
 
-# below this many lanes the compact path's overhead is not worth it;
-# module-level so tests can lower it to exercise compaction
-_COMPACT_MIN_R = 4096
-# lanes per compaction block.  Per-LANE compaction (jnp.nonzero + scatter
-# over R elements) costs ~30 ms at 2M lanes on TPU — worse than the fetch
-# it saves.  Rays are spatially coherent (textured/glossy lanes cluster on
-# the objects), so BLOCK-level compaction keeps ~the same selectivity while
-# the nonzero/scatter run over only R/B block flags.
-_COMPACT_BLOCK = 512
+# shared block-compaction machinery (see txr/render/compact.py); the old
+# names stay importable AND monkeypatchable (tests lower _COMPACT_MIN_R /
+# _COMPACT_BLOCK to exercise compaction on tiny batches)
+from txr.render.compact import block_compact as _block_compact_impl  # noqa: E402
+from txr.render.compact import COMPACT_MIN_R as _COMPACT_MIN_R  # noqa: E402
+from txr.render.compact import COMPACT_BLOCK as _COMPACT_BLOCK  # noqa: E402
 
 
 def _block_compact(sample, need, args, out_feat, dtype, keep_frac=4):
-    """Evaluate ``sample(*args)`` only for blocks of lanes where any lane
-    needs it.
-
-    need: [R] bool; args: per-lane arrays [R, ...]; out_feat: trailing
-    shape of sample's per-lane output.  Blocks of _COMPACT_BLOCK lanes are
-    selected with a tiny nonzero over R/B flags, gathered (few WIDE rows —
-    bandwidth-class, not row-count-class), sampled at KB·B lanes, and
-    block-scattered back.  Falls back to full width when more than
-    1/keep_frac of the blocks need the fetch.  Lanes outside ``need`` get
-    placeholder values — never consumed, so this changes row traffic, not
-    values."""
-    R = need.shape[0]
-    B = _COMPACT_BLOCK
-    if R % B or R // B < keep_frac * 2:
-        return sample(*args)
-    nb = R // B
-    KB = max(1, nb // keep_frac)
-    needb = jnp.any(need.reshape(nb, B), axis=1)
-    cnt = jnp.sum(needb)
-
-    def compact():
-        bidx = jnp.nonzero(needb, size=KB, fill_value=nb)[0]
-        src = jnp.minimum(bidx, nb - 1)
-        args_k = [a.reshape((nb, B) + a.shape[1:])[src] for a in args]
-        flat = [a.reshape((KB * B,) + a.shape[2:]) for a in args_k]
-        texk = sample(*flat).reshape((KB, B) + out_feat)
-        base = jnp.ones((nb + 1, B) + out_feat, dtype)
-        return base.at[bidx].set(texk)[:nb].reshape((R,) + out_feat)
-
-    def full():
-        return sample(*args)
-
-    return jax.lax.cond(cnt <= KB, compact, full)
+    return _block_compact_impl(sample, need, args, out_feat, dtype,
+                               keep_frac, block=_COMPACT_BLOCK)
 
 
 def _fetch_texels(textures, cfg, pr, ty, alive=None):
@@ -181,8 +147,9 @@ def _shade_from_probes(scene, textures, cfg, pr, mcol):
                 N = flat.shape[0]
                 rap = textures.ring_alpha_packed
                 if rap is not None:
-                    # alpha-only 1MB table: ~4x the gather throughput of
-                    # the full scene atlas; same quantized level-0 values
+                    # alpha-only ~1MB f32 quad table: small-table gather
+                    # rate; f32 beats the u8 word here (gather_bench2.py,
+                    # uint32 gathers ~60% slower than f32 on v5e)
                     sample = lambda uv_: tx.sample_packed(
                         rap, jnp.zeros(uv_.shape[:-1], jnp.int32), uv_,
                         None)[..., 0]

@@ -196,14 +196,22 @@ def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True, t0=None):
 
 
 def resolve_backend(backend, ro):
-    """"auto" → pallas off-CPU; force "jnp" when the rays carry a varying
-    mesh type (inside shard_map): interpret-mode pallas mixes the varying
-    ray tiles with replicated grid constants, which the VMA checker rejects.
-    Per-device sweeps inside shard_map therefore use the XLA-fused jnp path
-    (validated by tests/test_sharding.py)."""
+    """"auto" → pallas off-CPU.  Inside shard_map (rays carry a varying
+    mesh type) the pallas kernels still run on real devices — their
+    operands/outputs are pcast to one varying type (pallas_intersect._sds/
+    _match_vma), the per-device analog of the reference running its full
+    fused kernel per GPU (GLWrapper.cpp:165).  Only CPU interpret mode
+    downgrades to the jnp body: interpret-mode pallas mixes the varying ray
+    tiles with replicated interpreter constants, which the VMA checker
+    rejects (tests/test_sharding.py runs this path on the virtual CPU
+    mesh)."""
     if backend == "auto":
         backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
-    if backend == "pallas" and getattr(jax.typeof(ro), "vma", None):
+    if (
+        backend == "pallas"
+        and getattr(jax.typeof(ro), "vma", None)
+        and jax.default_backend() == "cpu"
+    ):
         backend = "jnp"
     return backend
 
@@ -296,6 +304,9 @@ def _ring_shadow_alpha(textures, uv):
     if rap is not None:
         from txr.render.texture import sample_packed
 
+        # f32 quad rows, NOT u8: uint32 gathers measured ~60% slower than
+        # f32 on v5e (scripts/gather_bench2.py: 5.98 vs 3.69 ms/512K), and
+        # this table is ~1 MB either way
         k = jnp.zeros(uv.shape[:-1], jnp.int32)
         return sample_packed(rap, k, uv, None)[..., 0]
     from txr.render.texture import sample_ring_texture

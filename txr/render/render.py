@@ -42,6 +42,12 @@ def render(scene, textures, cfg: RenderConfig):
     # construction.  cfg.texture_lod only controls whether samplers get a
     # ray-footprint LOD — the packed one-gather fetch is used either way.
     textures = with_mips(textures)
+    if cfg.aa_mode == "edge" and cfg.supersample > 1:
+        import dataclasses
+
+        base = render(scene, textures,
+                      dataclasses.replace(cfg, supersample=1))
+        return _edge_aa(scene, textures, cfg, base)
     ss = cfg.supersample
     ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, ss)
     hs, ws = cfg.height * ss, cfg.width * ss
@@ -73,6 +79,66 @@ def render(scene, textures, cfg: RenderConfig):
     else:
         img = color.reshape(cfg.height, cfg.width, 3)
     return img
+
+
+def _edge_aa(scene, textures, cfg: RenderConfig, base):
+    """Edge-adaptive AA: re-render ONLY luma-edge pixels at k² spp and
+    composite over the 1-spp frame.
+
+    The reference ships SMAA ULTRA (main.cpp:32): a post-process that finds
+    luma edges (SMAA.h:689) and blends along them — its cost model is
+    "pay only at edges".  The SSAA replacement (SURVEY §2.2) paid k²×
+    everywhere; this pass restores the SMAA cost model with SSAA's quality:
+    the k² sub-rays reuse the exact SSAA sub-pixel grid (raygen.pixel_grid
+    convention), so a re-rendered pixel equals its uniform-SSAA value.
+
+    Differentiable: base and re-render both carry gradients; the edge mask
+    and pixel selection are detached (piecewise constant in parameters,
+    the argmin argument).  Pixels beyond the static budget keep 1 spp.
+    """
+    import jax
+
+    from txr.render.raygen import ray_dirs
+
+    k = cfg.supersample
+    H, W = cfg.height, cfg.width
+    lum = jnp.tensordot(
+        jax.lax.stop_gradient(base),
+        jnp.asarray([0.2126, 0.7152, 0.0722], base.dtype), axes=1)
+    # neighbour luma deltas (left/right/up/down), borders excluded — the
+    # luma edge detect of SMAALumaEdgeDetectionPS (SMAA.h:689) made
+    # symmetric so BOTH sides of a discontinuity re-render
+    z = jnp.zeros((1, W), lum.dtype)
+    zc = jnp.zeros((H, 1), lum.dtype)
+    dv = jnp.abs(lum[1:] - lum[:-1])
+    dh = jnp.abs(lum[:, 1:] - lum[:, :-1])
+    d_up = jnp.concatenate([z, dv], axis=0)
+    d_dn = jnp.concatenate([dv, z], axis=0)
+    d_lf = jnp.concatenate([zc, dh], axis=1)
+    d_rt = jnp.concatenate([dh, zc], axis=1)
+    edge = jnp.maximum(jnp.maximum(d_up, d_dn),
+                       jnp.maximum(d_lf, d_rt)) > cfg.edge_threshold
+    edge_flat = edge.reshape(-1)
+
+    K = min(H * W, cfg.edge_budget_mult * (H + W))
+    pix = jnp.nonzero(edge_flat, size=K, fill_value=H * W)[0]
+    safe = jnp.minimum(pix, H * W - 1)
+    r = safe // W
+    c = safe % W
+    # the k×k sub-grid of pixel (r, c) in gl_FragCoord convention — exactly
+    # pixel_grid(ss=k)'s samples for that pixel, so edge pixels match the
+    # uniform-SSAA image
+    jj = jnp.arange(k * k)
+    jx = (jj % k).astype(base.dtype)
+    jy = (jj // k).astype(base.dtype)
+    x = c[:, None].astype(base.dtype) + (jx[None, :] + 0.5) / k
+    y = (H - r[:, None]).astype(base.dtype) - (jy[None, :] + 0.5) / k
+    rd = ray_dirs(scene.camera.quat, x, y, W, H).reshape(-1, 3)
+    ro = jnp.broadcast_to(scene.camera.pos, rd.shape)
+    col = trace(scene, textures, cfg, ro, rd)
+    aa = col.reshape(K, k * k, 3).mean(axis=1)
+    out = base.reshape(-1, 3).at[pix].set(aa, mode="drop")
+    return out.reshape(H, W, 3)
 
 
 def render_debug(scene, textures, cfg: RenderConfig):

@@ -123,11 +123,17 @@ class PackedAtlas:
     w0: tuple
     levels: tuple
     wrap: str = "repeat"
+    # RGBA8/A8 storage: same texels with channels packed into uint32 rows —
+    # C=4 → [H,W,4] uint32 (one word per quad texel), C=1 → [H,W] uint32
+    # (whole quad in one word).  4-16× smaller table ⇒ much faster gathers
+    # (small-table regime, PROFILE_r3.md); values identical by construction
+    # (quantize_u8).  Forward-only: texture-content grads use qatlas.
+    qatlas_u8: object = None
 
 
 jax.tree_util.register_dataclass(
     PackedAtlas,
-    data_fields=["qatlas"],
+    data_fields=["qatlas", "qatlas_u8"],
     meta_fields=["base", "h0", "w0", "levels", "wrap"],
 )
 
@@ -215,13 +221,27 @@ def build_packed_atlas(textures, wrap="repeat", mips=True):
                 )
             rows.append(q)
             off += q.shape[0]
+    qatlas = jnp.concatenate(rows, axis=0)
+    qatlas_u8 = None
+    if C in (1, 4):
+        # values are exactly k/255 post-quantize, so round() is lossless
+        u = jnp.round(jax.lax.stop_gradient(qatlas) * 255.0).astype(jnp.uint32)
+        u = u.reshape(u.shape[0], u.shape[1], 4, C)
+        if C == 4:
+            qatlas_u8 = (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+                         | (u[..., 3] << 24))                 # [H, W, 4]
+        else:
+            q4 = u[..., 0]                                    # [H, W, 4]
+            qatlas_u8 = (q4[..., 0] | (q4[..., 1] << 8) | (q4[..., 2] << 16)
+                         | (q4[..., 3] << 24))                # [H, W]
     return PackedAtlas(
-        qatlas=jnp.concatenate(rows, axis=0),
+        qatlas=qatlas,
         base=tuple(base),
         h0=tuple(h0),
         w0=tuple(w0),
         levels=tuple(levels),
         wrap=wrap,
+        qatlas_u8=qatlas_u8,
     )
 
 
@@ -423,11 +443,64 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
     # pair-level p = l0+1 row offset within the texture: h0 − (h0 >> l0)
     row = b + (h0 - jnp.right_shift(h0, l0)) + gv
     if use_u8 and ba.qatlas_u8 is not None:
+        # Flat channel-wise decode: select the needed packed words FIRST,
+        # then unpack — every op stays [R]-shaped, so XLA fuses the whole
+        # tail into the gather's consumer instead of materialising
+        # [R,16,4]/[R,4,4,4] intermediates (measured ~10 ms per full-width
+        # 512K pass for the reshaping form — scripts/fetch_decomp.py).
+        # Values are bit-identical to the f32 branch below by construction.
         qi = ba.qatlas_u8[row, gu]                          # [...,16] uint32
-        ch = [((qi >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(dt) / 255.0
-              for s in (0, 8, 16, 24)]
-        q = jnp.stack(ch, axis=-1)                          # [...,16,4]
-        blk = q.reshape(q.shape[:-2] + (4, 4, 4))
+        w = [qi[..., j] for j in range(16)]
+
+        def sel16(widx):
+            out = w[0]
+            for j in range(1, 16):
+                out = jnp.where(widx == j, w[j], out)
+            return out
+
+        def unpack(word):
+            return [((word >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(dt)
+                    / 255.0 for s in (0, 8, 16, 24)]
+
+        fu_s, fv_s = fu[..., 0], fv[..., 0]
+        fu1_s, fv1_s = fu1[..., 0], fv1[..., 0]
+        f_s = f[..., 0]
+        t00 = unpack(sel16(tv * 4 + tu))
+        t01 = unpack(sel16(tv * 4 + tu + 1))
+        t10 = unpack(sel16(tv * 4 + tu + 4))
+        t11 = unpack(sel16(tv * 4 + tu + 5))
+        # level-(l0+1) quad = integer-exact 2×2 means (mip_down_u8 on the
+        # extracted u8 codes — identical to the stored pyramid level)
+        wi = [[((w[4 * r + c] >> jnp.uint32(s)) & jnp.uint32(0xFF))
+               .astype(jnp.int32) for s in (0, 8, 16, 24)]
+              for r in range(4) for c in range(4)]
+
+        def mean4(i00, i01, i10, i11):
+            return [((wi[i00][ch] + wi[i01][ch] + wi[i10][ch] + wi[i11][ch]
+                      + 2) >> 2).astype(dt) / 255.0 for ch in range(4)]
+
+        m00 = mean4(0, 1, 4, 5)
+        m01 = mean4(2, 3, 6, 7)
+        m10 = mean4(8, 9, 12, 13)
+        m11 = mean4(10, 11, 14, 15)
+        bu1 = bu == 1
+        bv1 = bv == 1
+        out_ch = []
+        for ch in range(4):
+            lo_c = (t00[ch] * (1 - fu_s) + t01[ch] * fu_s) * (1 - fv_s) + (
+                t10[ch] * (1 - fu_s) + t11[ch] * fu_s) * fv_s
+            d00 = m00[ch]
+            d01 = jnp.where(bu1, m01[ch], d00)
+            d10 = jnp.where(bv1, m10[ch], d00)
+            d11 = jnp.where(
+                bv1,
+                jnp.where(bu1, m11[ch], m10[ch]),
+                jnp.where(bu1, m01[ch], d00),
+            )
+            hi_c = (d00 * (1 - fu1_s) + d01 * fu1_s) * (1 - fv1_s) + (
+                d10 * (1 - fu1_s) + d11 * fu1_s) * fv1_s
+            out_ch.append(lo_c * (1 - f_s) + hi_c * f_s)
+        return jnp.stack(out_ch, axis=-1)
     else:
         q = ba.qatlas[row, gu]                              # the ONE gather
         blk = q.reshape(q.shape[:-1] + (4, 4, q.shape[-1] // 16))
@@ -621,11 +694,15 @@ def _meta(pa: PackedAtlas, k):
     return take(pa.base), take(pa.h0), take(pa.w0), take(pa.levels)
 
 
-def _fetch_level_packed(pa: PackedAtlas, b, h0, w0, uv, level):
+def _fetch_level_packed(pa: PackedAtlas, b, h0, w0, uv, level, use_u8=False):
     """Bilinear fetch at mip ``level`` — ONE gather per ray (quad-packed).
 
     b/h0/w0/level: per-ray int32 arrays.  Bit-identical lerp math to the
-    4-gather form (the quad holds exactly the same four texels)."""
+    4-gather form (the quad holds exactly the same four texels).
+
+    use_u8: gather the uint32-packed storage (4 words for C=4, ONE word for
+    C=1) — a 4-16× smaller table gathers far faster (small-table regime);
+    values identical (quantize_u8).  Forward-only (no content grads)."""
     Hl = jnp.right_shift(h0, level)
     Wl = jnp.right_shift(w0, level)
     u = uv[..., 0] * Wl - 0.5
@@ -651,15 +728,28 @@ def _fetch_level_packed(pa: PackedAtlas, b, h0, w0, uv, level):
     # Σ_{j<l} H0>>j = 2·H0 − (2·H0 >> l)
     h2 = jnp.left_shift(h0, 1)
     row = b + h2 - jnp.right_shift(h2, level) + cv
-    q = pa.qatlas[row, cu]                       # [R, 4C] — the one gather
-    C = q.shape[-1] // 4
-    c00, c01, c10, c11 = q[..., :C], q[..., C:2 * C], q[..., 2 * C:3 * C], q[..., 3 * C:]
+    dt = uv.dtype
+    if use_u8 and pa.qatlas_u8 is not None:
+        qi = pa.qatlas_u8[row, cu]               # [R, 4] or [R] uint32
+        unpack = lambda w: jnp.stack(
+            [((w >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(dt) / 255.0
+             for s in (0, 8, 16, 24)], axis=-1)
+        if qi.ndim == row.ndim:                  # C == 1: quad in one word
+            a4 = unpack(qi)                      # [R, 4] = the four taps
+            c00, c01, c10, c11 = (a4[..., i : i + 1] for i in range(4))
+        else:                                    # C == 4: word per texel
+            c00, c01, c10, c11 = (unpack(qi[..., i]) for i in range(4))
+    else:
+        q = pa.qatlas[row, cu]                   # [R, 4C] — the one gather
+        C = q.shape[-1] // 4
+        c00, c01, c10, c11 = (q[..., :C], q[..., C:2 * C],
+                              q[..., 2 * C:3 * C], q[..., 3 * C:])
     top = c00 * (1.0 - fu) + c01 * fu
     bot = c10 * (1.0 - fu) + c11 * fu
     return top * (1.0 - fv) + bot * fv
 
 
-def sample_packed(pa: PackedAtlas, k, uv, lod=None):
+def sample_packed(pa: PackedAtlas, k, uv, lod=None, use_u8=False):
     """Texture fetch from a PackedAtlas: the TPU textureLod.
 
     k: per-ray texture id within the atlas (int32, callers clip);
@@ -667,7 +757,8 @@ def sample_packed(pa: PackedAtlas, k, uv, lod=None):
     plain bilinear — one gather).  Trilinear costs two gathers total."""
     b, h0, w0, L = _meta(pa, k)
     if lod is None:
-        return _fetch_level_packed(pa, b, h0, w0, uv, jnp.zeros_like(b))
+        return _fetch_level_packed(pa, b, h0, w0, uv, jnp.zeros_like(b),
+                                   use_u8=use_u8)
     # Same BLOCK_LOD_EPS clamp as sample_block so device (either atlas
     # flavour) and the f64 oracle agree exactly at max LOD (ADVICE r2).
     lmax = jnp.maximum((L - 1).astype(lod.dtype) - BLOCK_LOD_EPS, 0.0)
@@ -675,8 +766,8 @@ def sample_packed(pa: PackedAtlas, k, uv, lod=None):
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, L - 1)
     f = (lod - l0.astype(lod.dtype))[..., None]
-    c0 = _fetch_level_packed(pa, b, h0, w0, uv, l0)
-    c1 = _fetch_level_packed(pa, b, h0, w0, uv, l1)
+    c0 = _fetch_level_packed(pa, b, h0, w0, uv, l0, use_u8=use_u8)
+    c1 = _fetch_level_packed(pa, b, h0, w0, uv, l1, use_u8=use_u8)
     return c0 * (1.0 - f) + c1 * f
 
 
@@ -866,10 +957,40 @@ def sample_cubemap(cubemap, d):
     return out[..., :3]
 
 
+@jax.custom_vjp
+def sample_packed_fast(pa, k, uv):
+    """u8-primal level-0 PackedAtlas fetch whose backward recomputes the
+    f32 sampler.
+
+    The u8 and f32 atlases store IDENTICAL values (quantize_u8), so the
+    primal is exact and the f32 recompute linearises at the same point —
+    content/uv gradients are untouched while the forward pays the 4-16×
+    smaller table's gather rate (small-table regime, PROFILE_r3.md)."""
+    return sample_packed(pa, k, uv, None, use_u8=True)
+
+
+def _sample_packed_fast_fwd(pa, k, uv):
+    return sample_packed_fast(pa, k, uv), (pa, k, uv)
+
+
+def _sample_packed_fast_bwd(res, g):
+    pa, k, uv = res
+    _, vjp = jax.vjp(lambda pa_, uv_: sample_packed(pa_, k, uv_), pa, uv)
+    gpa, guv = vjp(g)
+    return gpa, None, guv
+
+
+sample_packed_fast.defvjp(_sample_packed_fast_fwd, _sample_packed_fast_bwd)
+
+
 def sample_cubemap_packed(pa: PackedAtlas, d):
     """Environment lookup via the packed 6-face atlas — one gather per ray
-    instead of 24 (6 faces × 4 bilinear taps)."""
+    instead of 24 (6 faces × 4 bilinear taps).  Uses the u8 storage when
+    present (same values, ~4× the gather rate — the env pass is full-width,
+    PROFILE_r3.md)."""
     face, uv = _cube_face_uv(d)
+    if pa.qatlas_u8 is not None:
+        return sample_packed_fast(pa, face, uv)[..., :3]
     return sample_packed(pa, face, uv)[..., :3]
 
 

@@ -99,6 +99,13 @@ class RenderConfig:
     # resolves to pallas (off-CPU, outside shard_map); "on"/"off" force.
     # Gradients always go through the jnp body (custom VJP recompute).
     fused: str = "auto"
+    # u8-packed unified texture fetch in the jnp body (hit_info): 4× smaller
+    # table → small-table gather rate, plus block compaction.  uv/lod/scene
+    # gradients are unchanged (the lerp differentiates through the unpacked
+    # taps); ONLY texture-content gradients (texture recovery) require
+    # False.  The f64 oracle stays within the golden tolerance either way
+    # (u8 and f32 atlases store identical quantized values).
+    fast_texels: bool = True
     # Static switch for the refractive-glossy extra pass
     # (getReflectedColor, rt.frag:787-802).  It costs a full nearest-hit +
     # shade per bounce, so scenes with no refractive+reflective material
@@ -106,17 +113,37 @@ class RenderConfig:
     # the branch; a masked TPU batch pays it for everyone).
     refractive_glossy: bool = True
 
+    # Antialiasing mode: "edge" re-renders ONLY edge pixels at
+    # supersample², the TPU-first answer to SMAA's edges-only cost model
+    # (SMAA detects luma edges and blends only there, SMAA.h:689,1252;
+    # brute SSAA pays k²× everywhere).  "ssaa" is the uniform box filter.
+    # Both are differentiable; the edge MASK is detached (piecewise
+    # constant, the argmin argument).
+    aa_mode: str = "edge"
+    # luma edge-detect threshold (SMAA_THRESHOLD; ULTRA uses 0.05,
+    # SMAA.h:319-323 — 0.02 measured to recover uniform-SSAA PSNR)
+    edge_threshold: float = 0.02
+    # static budget: at most edge_budget_mult·(H+W) pixels re-render (edges
+    # scale with silhouette LENGTH, not area).  20·(H+W) at 1080p = 60K
+    # pixels → ultra (k=4) costs ≤1.46× the 1-spp frame by construction;
+    # at test resolutions the budget covers every pixel.  Edges beyond the
+    # budget keep their 1-spp value.
+    edge_budget_mult: int = 20
+
     @property
     def max_steps(self):
         if self.reflect_reduce_iteration:
             return self.iterations + self.extra_refraction_steps
         return self.iterations
 
-    def with_aa_preset(self, preset: str) -> "RenderConfig":
+    def with_aa_preset(self, preset: str, mode: str = "edge") -> "RenderConfig":
         """Quality presets mirroring the reference's SMAA_PRESET_{LOW,MEDIUM,
-        HIGH,ULTRA} (SMAA_Builder.h:9-12, SMAA.h:304-323), mapped to the SSAA
-        factor that replaces SMAA in the TPU design (SURVEY §2.2)."""
-        return dataclasses.replace(self, supersample=AA_PRESETS[preset.lower()])
+        HIGH,ULTRA} (SMAA_Builder.h:9-12, SMAA.h:304-323), mapped to the
+        sub-sample factor k.  mode="edge" (default): 1-spp frame + k²-spp
+        re-render of luma-edge pixels only — SMAA's cost model with SSAA's
+        quality.  mode="ssaa": uniform k× supersampling."""
+        return dataclasses.replace(
+            self, supersample=AA_PRESETS[preset.lower()], aa_mode=mode)
 
 
 # SMAA preset → supersampling factor.  "low" = no AA (SMAA LOW barely
@@ -152,7 +179,7 @@ def auto_refraction_steps(scene, cap: int = 6) -> int:
 
 
 def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True,
-             miss=None):
+             miss=None, fast=False):
     """get_hit_info (rt.frag:744-784): per-ray normal, material (with
     texturing applied to the colour), alpha, and the distance-scaled
     shadow-acne bias.
@@ -168,6 +195,12 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True,
     (SceneAtlas.cube_base), rays flagged here get their environment colour
     fetched in the SAME pass as the textured-hit fetch (returned as
     ``env``) — one gather pass per bounce step instead of two.
+
+    ``fast`` (cfg.fast_texels): the unified fetch gathers the u8-packed
+    atlas (4× smaller table, small-table gather rate) and block-compacts to
+    the lanes that request texels.  uv/lod/scene gradients flow unchanged
+    (the lerp differentiates through the unpacked taps); only
+    texture-CONTENT gradients need fast=False (the u8 table is integer).
     """
     R = t.shape
     dt = ro.dtype
@@ -390,9 +423,25 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True,
         or env_sel is not None
     ):
         uv = jnp.stack([req_u, req_v], axis=-1)
-        texc = gated_fetch(
-            req_any, lambda: tx.sample_atlas(sa.pa, req_k, uv, req_lod)
-        )
+        use_u8 = fast and getattr(sa.pa, "qatlas_u8", None) is not None
+
+        def unified_fetch():
+            if req_lod is None:
+                sample = lambda k_, uv_: tx.sample_atlas(
+                    sa.pa, k_, uv_, None, use_u8=use_u8)
+                args = (req_k, uv)
+            else:
+                sample = lambda k_, uv_, l_: tx.sample_atlas(
+                    sa.pa, k_, uv_, l_, use_u8=use_u8)
+                args = (req_k, uv, req_lod)
+            from txr.render.fused import _block_compact, _COMPACT_MIN_R
+
+            if req_any.ndim == 1 and req_any.shape[0] > _COMPACT_MIN_R:
+                return _block_compact(sample, req_any, args, (4,), dt,
+                                      keep_frac=2)
+            return sample(*args)
+
+        texc = gated_fetch(req_any, unified_fetch)
         if sphere_textured is not None:
             color = jnp.where(sphere_textured[..., None], texc[..., :3], color)
             alpha = jnp.where(sphere_textured, texc[..., 3], alpha)
@@ -448,7 +497,7 @@ def _reflected_color(scene, textures, cfg, ro, rd):
     for the glossy component of refractive surfaces (not recursive)."""
     t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside, cfg.backend)
     hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg),
-                  gate=cfg.gating)
+                  gate=cfg.gating, fast=cfg.fast_texels)
     is_light = ty == TYPE_POINT_LIGHT
     hit = jnp.isfinite(t) & (ty >= 0) & ~is_light
 
@@ -533,7 +582,7 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
             act = act & ~is_light
 
         hi = hit_info(scene, textures, ro, rd, t, ty, idx, _pix_angle(cfg),
-                      gate=cfg.gating)
+                      gate=cfg.gating, fast=cfg.fast_texels)
         n = hi["normal"]
         outside = jnp.sum(rd * n, axis=-1) < 0.0     # rt.frag:837
         n = jnp.where(outside[..., None], n, -n)
@@ -659,8 +708,8 @@ def _use_fused(scene, cfg: RenderConfig, ro) -> bool:
     CPU interpret-mode runs to validate parity); "off" disables."""
     if cfg.fused == "off":
         return False
-    if getattr(jax.typeof(ro), "vma", None):
-        return False          # shard_map tile: jnp body per device
+    if getattr(jax.typeof(ro), "vma", None) and jax.default_backend() == "cpu":
+        return False          # CPU interpret-mode tile: jnp body per device
     c = scene.counts
     if sum(c[k] for k in ("planes", "spheres", "surfaces", "boxes",
                           "toruses", "rings", "lights_point")) == 0:
@@ -701,6 +750,15 @@ _fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)
 _STEP_COMPACT_MIN_R = 1 << 17
 
 
+# Compaction tiers: the live-ray fraction collapses [1, .28, .08, .035,
+# .018, ...] per bounce step (PROFILE_r3.md) while a single half-width tier
+# executes [1, .5, .5, .5, ...] — most of the frame was dead-block work.
+# Tiers are tried smallest-first; each instantiates the step body at
+# KB = nb//frac blocks (program size scales with the tier count — 3 tiers
+# measured worth it, r4).
+_STEP_COMPACT_FRACS = (32, 8, 2)
+
+
 def _block_compact_step(step, st, block):
     """Run ``step`` only on blocks of lanes with a live ray.
 
@@ -708,35 +766,47 @@ def _block_compact_step(step, st, block):
     invariant), so gathering the alive blocks of the carry, stepping the
     compacted batch, and scattering the results back reproduces the full
     step exactly — while the probe kernel, texture fetches, and elementwise
-    update all run at the compacted width.  After the primary bounce only
-    ~28% → 8% → 3% of rays are alive (PROFILE_r3.md), and tiled ray order
-    (render.TILE_H/W) clusters them into few blocks."""
+    update all run at the compacted width.  Tiled ray order (render.TILE_H/
+    W) clusters live lanes into few blocks; the tier ladder
+    (_STEP_COMPACT_FRACS) picks the smallest width the live set fits."""
     alive = st["alive"]
     R = alive.shape[0]
     if R % block or R // block < 8:
         return step(st)
     nb = R // block
-    KB = nb // 2
     aliveb = jnp.any(alive.reshape(nb, block), axis=1)
     cnt = jnp.sum(aliveb)
 
     def blk(a):
         return a.reshape((nb, block) + a.shape[1:])
 
-    def compact(st):
-        bidx = jnp.nonzero(aliveb, size=KB, fill_value=nb)[0]
-        src = jnp.minimum(bidx, nb - 1)
-        stc = jax.tree_util.tree_map(
-            lambda a: blk(a)[src].reshape((KB * block,) + a.shape[1:]), st)
-        stc2 = step(stc)
-        return jax.tree_util.tree_map(
-            lambda full, new: blk(full)
-            .at[bidx]
-            .set(new.reshape((KB, block) + new.shape[1:]), mode="drop")
-            .reshape(full.shape),
-            st, stc2)
+    def compact_at(KB):
+        def compact(st):
+            bidx = jnp.nonzero(aliveb, size=KB, fill_value=nb)[0]
+            src = jnp.minimum(bidx, nb - 1)
+            stc = jax.tree_util.tree_map(
+                lambda a: blk(a)[src].reshape((KB * block,) + a.shape[1:]), st)
+            stc2 = step(stc)
+            return jax.tree_util.tree_map(
+                lambda full, new: blk(full)
+                .at[bidx]
+                .set(new.reshape((KB, block) + new.shape[1:]), mode="drop")
+                .reshape(full.shape),
+                st, stc2)
 
-    return jax.lax.cond(cnt <= KB, compact, step, st)
+        return compact
+
+    # build the ladder inside-out: the coarsest tier wraps ``step`` and the
+    # finest tier is checked first (outermost cond)
+    out = step
+    for frac in sorted(set(_STEP_COMPACT_FRACS)):
+        KB = nb // frac
+        if KB < 1:
+            continue
+        inner = out
+        out = (lambda KB, inner: lambda st: jax.lax.cond(
+            cnt <= KB, compact_at(KB), inner, st))(KB, inner)
+    return out(st)
 
 
 def make_step(scene, textures, cfg: RenderConfig):
@@ -788,7 +858,21 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         return state["color"]
 
     def env_pass(color):
-        return color + _background(scene, textures, state["env_rd"]) * state["env_mask"]
+        rd_env = state["env_rd"]
+        mask = state["env_mask"]
+        R = mask.shape[0] if mask.ndim == 2 else 0
+        if cfg.gating and R > _STEP_COMPACT_MIN_R:
+            # sky lanes cluster (tiled ray order); fetch only blocks with a
+            # recorded miss — placeholder values land on mask == 0 lanes
+            from txr.render.fused import _block_compact
+
+            need = jnp.any(mask > 0.0, axis=-1)
+            env = _block_compact(
+                lambda rd_: _background(scene, textures, rd_),
+                need, (rd_env,), (3,), rd_env.dtype, keep_frac=2)
+        else:
+            env = _background(scene, textures, rd_env)
+        return color + env * mask
 
     if cfg.gating:
         return jax.lax.cond(
