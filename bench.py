@@ -104,6 +104,7 @@ def main():
     from txr.apps.demo import build_scene, demo_textures
     from txr.render.trace import RenderConfig, auto_refraction_steps
     from txr.render.render import render
+    from txr.render.texture import with_mips
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -111,7 +112,13 @@ def main():
     K_FWD, K_FB = (4, 2) if on_tpu else (2, 1)
 
     scene, _ = build_scene(W, H)
-    textures = demo_textures()
+    # Build the sampling atlases ONCE outside the frame jit — the
+    # glGenerateMipmap-at-load moment (GLWrapper.cpp:343).  Inside the jit,
+    # XLA assigns the atlas a gather-hostile transposed layout ({1,2,0}:
+    # each gathered row = 16 strided reads, measured 4.4× slower); as a
+    # boundary value it keeps the default row-major layout.  render()'s
+    # internal with_mips is idempotent and becomes a no-op.
+    textures = jax.jit(with_mips)(demo_textures())
     extra = auto_refraction_steps(scene)
     # 512K-ray chunks measured best on v5e for the fused path (r3 sweep,
     # scripts/fused_decomp3.py): big enough to amortise per-step launch
@@ -137,8 +144,13 @@ def main():
         return
 
     # -- forward ------------------------------------------------------------
+    # scene/textures enter every jit as ARGUMENTS: closure DeviceArrays
+    # bake into the program body (the pre-mipped atlas is ~200MB → tunnel
+    # HTTP 413) and boundary arguments also keep gather-fast default
+    # layouts for the atlas tables.
     def fwd_chain():
-        def chain():
+        @jax.jit
+        def chain(scene, textures):
             acc = jnp.float32(0.0)
             for _ in range(K_FWD):
                 s = dataclasses.replace(
@@ -148,8 +160,7 @@ def main():
                 )
                 acc = acc + jnp.sum(render(s, textures, cfg))
             return acc
-        f = jax.jit(chain)
-        return f
+        return lambda: chain(scene, textures)
 
     t_fwd = _timed_chain(fwd_chain) / K_FWD
     fwd_rays = n_rays / t_fwd
@@ -177,8 +188,7 @@ def main():
         cfg0 = dataclasses.replace(cfg, width=lw, height=lh,
                                    ray_chunk=0, gating=False)
 
-        def live_counts(scene):
-            tx = with_mips(textures)
+        def live_counts(scene, tx):
             ro, rd = primary_rays(scene.camera, lw, lh, 1)
             st = initial_state(ro, rd)
             body = make_step(scene, tx, cfg0)
@@ -188,7 +198,7 @@ def main():
                 st = body(st)
             return jnp.stack(cs)
 
-        lf = np.asarray(jax.jit(live_counts)(scene)) / float(lw * lh)
+        lf = np.asarray(jax.jit(live_counts)(scene, textures)) / float(lw * lh)
         flops_per_ray = frame_flops_per_ray(scene, cfg, lf)
         achieved_tflops = flops_per_ray * n_rays / t_fwd / 1e12
         mfu = achieved_tflops * 1e12 / V5E_PEAK_FLOPS
@@ -208,7 +218,8 @@ def main():
         aa_cfg = cfg.with_aa_preset("ultra", mode="edge")
 
         def aa_chain():
-            def chain():
+            @jax.jit
+            def chain(scene, textures):
                 acc = jnp.float32(0.0)
                 for _ in range(K_FWD):
                     s = dataclasses.replace(
@@ -218,23 +229,26 @@ def main():
                     )
                     acc = acc + jnp.sum(render(s, textures, aa_cfg))
                 return acc
-            return jax.jit(chain)
+            return lambda: chain(scene, textures)
 
         t_aa = _timed_chain(aa_chain) / K_FWD
 
         truth = np.asarray(jax.jit(
-            lambda s: render(s, textures, dataclasses.replace(
-                cfg, supersample=6, aa_mode="ssaa")))(scene), np.float64)
+            lambda s, t: render(s, t, dataclasses.replace(
+                cfg, supersample=6, aa_mode="ssaa")))(scene, textures),
+            np.float64)
 
         def psnr(img):
             mse = float(np.mean((np.asarray(img, np.float64) - truth) ** 2))
             return round(10.0 * np.log10(1.0 / max(mse, 1e-12)), 2)
 
-        p_1 = psnr(jax.jit(lambda s: render(s, textures, cfg))(scene))
-        p_edge = psnr(jax.jit(lambda s: render(s, textures, aa_cfg))(scene))
+        p_1 = psnr(jax.jit(
+            lambda s, t: render(s, t, cfg))(scene, textures))
+        p_edge = psnr(jax.jit(
+            lambda s, t: render(s, t, aa_cfg))(scene, textures))
         p_ssaa4 = psnr(jax.jit(
-            lambda s: render(s, textures, dataclasses.replace(
-                cfg, supersample=4, aa_mode="ssaa")))(scene))
+            lambda s, t: render(s, t, dataclasses.replace(
+                cfg, supersample=4, aa_mode="ssaa")))(scene, textures))
         aa_fields = {
             "aa_edge_ultra_ms": round(t_aa * 1e3, 2),
             "aa_cost_vs_1spp": round(t_aa / t_fwd, 3),
@@ -257,13 +271,14 @@ def main():
         jax.jit(lambda s, t: render(s, t, cfg))(scene, textures)
     )
 
-    def loss(s):
+    def loss(s, textures, target):
         return jnp.mean((render(s, textures, cfg) - target) ** 2)
 
     grad_fn = jax.grad(loss, allow_int=True)
 
     def fb_chain():
-        def chain():
+        @jax.jit
+        def chain(scene, textures, target):
             acc = jnp.float32(0.0)
             for _ in range(K_FB):
                 s = dataclasses.replace(
@@ -271,10 +286,10 @@ def main():
                         scene.camera, pos=scene.camera.pos + acc * 1e-30
                     )
                 )
-                g = grad_fn(s)
+                g = grad_fn(s, textures, target)
                 acc = acc + jnp.sum(g.camera.pos) + jnp.sum(g.spheres.pos)
             return acc
-        return jax.jit(chain)
+        return lambda: chain(scene, textures, target)
 
     try:
         t_fb = _timed_chain(fb_chain) / K_FB

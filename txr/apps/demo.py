@@ -345,7 +345,13 @@ def main(argv=None):
         enable_nan_checks()
 
     scene, handles = build_scene(args.width, args.height)
-    textures = demo_textures(args.assets)
+    import jax
+
+    from txr.render.texture import with_mips
+
+    # atlases built once at load (glGenerateMipmap, GLWrapper.cpp:343) —
+    # outside the render jit they keep gather-friendly default layouts
+    textures = jax.jit(with_mips)(demo_textures(args.assets))
     iters = args.iterations if args.iterations is not None else scene.reflect_depth
     from txr.render.trace import auto_refraction_steps
 

@@ -169,7 +169,12 @@ def main(argv=None):
     from txr.scene.types import Camera
 
     scene0, handles = build_scene(args.width, args.height)
-    textures = demo_textures()
+    from txr.render.texture import with_mips
+
+    # atlases built once at load (glGenerateMipmap moment) — outside the
+    # frame jit they keep the fast default layouts and drop the per-frame
+    # mip rebuild entirely
+    textures = jax.jit(with_mips)(demo_textures())
     iters = args.iterations if args.iterations is not None else scene0.reflect_depth
     cfg = RenderConfig(width=args.width, height=args.height, iterations=iters,
                        extra_refraction_steps=auto_refraction_steps(scene0))

@@ -232,10 +232,9 @@ def fused_step_fwd(scene, textures, cfg, st):
     t = pr["t"]
     hit, ty, idx = _types_of(scene, pr)
     act = alive & hit
-    # miss → deferred environment (see trace.initial_state)
+    # miss → deferred environment, one bit (see trace.initial_state)
     miss = alive & ~hit
-    env_rd = jnp.where(miss[..., None], rd, st["env_rd"])
-    env_mask = jnp.where(miss[..., None], mask, st["env_mask"])
+    missed = st["missed"] | miss
     alive = alive & hit
 
     if scene.counts["lights_point"]:
@@ -348,5 +347,5 @@ def fused_step_fwd(scene, textures, cfg, st):
     return dict(
         ro=ro, rd=rd, color=color, mask=mask,
         absorb_dist=absorb_dist, bounces=bounces, alive=alive,
-        env_rd=env_rd, env_mask=env_mask,
+        missed=missed,
     )

@@ -138,6 +138,17 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _row_major(tab):
+    """Constrain a gather table to row-major layout (no-op where the
+    layout API is unavailable, e.g. some CPU paths)."""
+    try:
+        from jax.experimental.layout import Layout, with_layout_constraint
+
+        return with_layout_constraint(tab, Layout(tuple(range(tab.ndim))))
+    except Exception:
+        return tab
+
+
 def quantize_u8(x):
     """RGBA8 storage quantisation — the reference's texture internal format
     (stb_image loads u8; GLWrapper.cpp:339 uploads GL_RGBA) — with a
@@ -449,7 +460,12 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
         # [R,16,4]/[R,4,4,4] intermediates (measured ~10 ms per full-width
         # 512K pass for the reshaping form — scripts/fetch_decomp.py).
         # Values are bit-identical to the f32 branch below by construction.
-        qi = ba.qatlas_u8[row, gu]                          # [...,16] uint32
+        # pin the table to row-major for the gather: layout assignment
+        # otherwise propagates the decode's column preference into the
+        # operand ({1,2,0}), turning each gathered row into 16 strided
+        # reads (measured ~4× slower in-frame, r4 profile)
+        tab = _row_major(ba.qatlas_u8)
+        qi = tab[row, gu]                                   # [...,16] uint32
         w = [qi[..., j] for j in range(16)]
 
         def sel16(widx):
@@ -502,7 +518,7 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
             out_ch.append(lo_c * (1 - f_s) + hi_c * f_s)
         return jnp.stack(out_ch, axis=-1)
     else:
-        q = ba.qatlas[row, gu]                              # the ONE gather
+        q = _row_major(ba.qatlas)[row, gu]                  # the ONE gather
         blk = q.reshape(q.shape[:-1] + (4, 4, q.shape[-1] // 16))
 
     # level-l0 bilinear quad (selects within the block)
@@ -730,7 +746,7 @@ def _fetch_level_packed(pa: PackedAtlas, b, h0, w0, uv, level, use_u8=False):
     row = b + h2 - jnp.right_shift(h2, level) + cv
     dt = uv.dtype
     if use_u8 and pa.qatlas_u8 is not None:
-        qi = pa.qatlas_u8[row, cu]               # [R, 4] or [R] uint32
+        qi = _row_major(pa.qatlas_u8)[row, cu]   # [R, 4] or [R] uint32
         unpack = lambda w: jnp.stack(
             [((w >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(dt) / 255.0
              for s in (0, 8, 16, 24)], axis=-1)
@@ -740,7 +756,7 @@ def _fetch_level_packed(pa: PackedAtlas, b, h0, w0, uv, level, use_u8=False):
         else:                                    # C == 4: word per texel
             c00, c01, c10, c11 = (unpack(qi[..., i]) for i in range(4))
     else:
-        q = pa.qatlas[row, cu]                   # [R, 4C] — the one gather
+        q = _row_major(pa.qatlas)[row, cu]       # [R, 4C] — the one gather
         C = q.shape[-1] // 4
         c00, c01, c10, c11 = (q[..., :C], q[..., C:2 * C],
                               q[..., 2 * C:3 * C], q[..., 3 * C:])

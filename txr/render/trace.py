@@ -535,13 +535,52 @@ def initial_state(ro, rd):
         absorb_dist=zero,
         bounces=zero.astype(jnp.int32),    # the GLSL `i`
         alive=zero == 0.0,
-        # deferred environment: a ray misses at most once (it dies), so the
-        # cubemap term env(rd)·mask is recorded here and fetched ONCE after
-        # the loop instead of once per step — removing several full-width
-        # gather passes per frame (gathers are the frame bottleneck,
-        # PROFILE_r3.md).
-        env_rd=rd,
-        env_mask=ro * 0.0,
+        # deferred environment: a ray misses at most once (it dies, and a
+        # dead ray's rd/mask never change again — every update is gated on
+        # alive), so ONE bit records the miss and the post-loop env pass
+        # reconstructs the cubemap term as missed·mask·bg(rd).  This keeps
+        # the loop carry at 16 packed floats (pack_state) — carry width is
+        # what every cond/compaction boundary copies (PROFILE r4).
+        missed=zero != 0.0,
+    )
+
+
+# packed-carry layout: the bounce state as ONE [R, 16] f32 array.  Every
+# lax.cond boundary (step gate, compaction tiers) and every compaction
+# gather/scatter then moves a single well-tiled array instead of 13 — the
+# r4 profile showed the 13-array carry's per-cond copies/layout conversions
+# dominating the frame.
+_PACK_COLS = 16
+
+
+def pack_state(st):
+    """dict carry → [R, 16] f32 (cols: ro 0-2, rd 3-5, color 6-8, mask
+    9-11, absorb_dist 12, bounces 13, alive 14, missed 15).  Exact: small
+    ints and 0/1 flags round-trip through f32."""
+    R = st["absorb_dist"].shape[0]
+    dt = st["ro"].dtype
+    return jnp.concatenate(
+        [
+            st["ro"], st["rd"], st["color"], st["mask"],
+            st["absorb_dist"][:, None],
+            st["bounces"].astype(dt)[:, None],
+            st["alive"].astype(dt)[:, None],
+            st["missed"].astype(dt)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def unpack_state(arr):
+    return dict(
+        ro=arr[:, 0:3],
+        rd=arr[:, 3:6],
+        color=arr[:, 6:9],
+        mask=arr[:, 9:12],
+        absorb_dist=arr[:, 12],
+        bounces=arr[:, 13].astype(jnp.int32),
+        alive=arr[:, 14] > 0.5,
+        missed=arr[:, 15] > 0.5,
     )
 
 
@@ -561,13 +600,11 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
         hit = jnp.isfinite(t)
         act = alive & hit
 
-        # -- miss → environment (rt.frag:892-895), DEFERRED: record
-        # (rd, mask) for the single post-loop env fetch (trace()) instead
-        # of fetching per step — a ray misses at most once, and gathers are
-        # the frame bottleneck (PROFILE_r3.md).
+        # -- miss → environment (rt.frag:892-895), DEFERRED: one bit marks
+        # the miss; the dead ray's rd/mask freeze, so the single post-loop
+        # env fetch (trace()) reconstructs missed·mask·bg(rd) exactly.
         miss = alive & ~hit
-        st_env_rd = jnp.where(miss[..., None], rd, st["env_rd"])
-        st_env_mask = jnp.where(miss[..., None], mask, st["env_mask"])
+        st_missed = st["missed"] | miss
         alive = alive & hit
 
         # -- light bulb hit (rt.frag:829-832)
@@ -696,7 +733,7 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
         return dict(
             ro=ro, rd=rd, color=color, mask=mask,
             absorb_dist=absorb_dist, bounces=bounces, alive=alive,
-            env_rd=st_env_rd, env_mask=st_env_mask,
+            missed=st_missed,
         )
 
     return body(st)
@@ -759,8 +796,8 @@ _STEP_COMPACT_MIN_R = 1 << 17
 _STEP_COMPACT_FRACS = (32, 8, 2)
 
 
-def _block_compact_step(step, st, block):
-    """Run ``step`` only on blocks of lanes with a live ray.
+def _block_compact_step(step, arr, block):
+    """Run packed-carry ``step`` only on blocks of lanes with a live ray.
 
     The bounce-step body is a bit-exact identity on dead rays (the gating
     invariant), so gathering the alive blocks of the carry, stepping the
@@ -768,31 +805,28 @@ def _block_compact_step(step, st, block):
     step exactly — while the probe kernel, texture fetches, and elementwise
     update all run at the compacted width.  Tiled ray order (render.TILE_H/
     W) clusters live lanes into few blocks; the tier ladder
-    (_STEP_COMPACT_FRACS) picks the smallest width the live set fits."""
-    alive = st["alive"]
-    R = alive.shape[0]
+    (_STEP_COMPACT_FRACS) picks the smallest width the live set fits.
+
+    ``arr`` is the PACKED [R, 16] carry (pack_state): each cond boundary
+    and each gather/scatter then touches one array, not 13 — the r4
+    profile showed per-cond carry copies dominating the frame."""
+    R = arr.shape[0]
     if R % block or R // block < 8:
-        return step(st)
+        return step(arr)
     nb = R // block
-    aliveb = jnp.any(alive.reshape(nb, block), axis=1)
+    aliveb = jnp.any((arr[:, 14] > 0.5).reshape(nb, block), axis=1)
     cnt = jnp.sum(aliveb)
 
-    def blk(a):
-        return a.reshape((nb, block) + a.shape[1:])
-
     def compact_at(KB):
-        def compact(st):
+        def compact(arr):
             bidx = jnp.nonzero(aliveb, size=KB, fill_value=nb)[0]
             src = jnp.minimum(bidx, nb - 1)
-            stc = jax.tree_util.tree_map(
-                lambda a: blk(a)[src].reshape((KB * block,) + a.shape[1:]), st)
-            stc2 = step(stc)
-            return jax.tree_util.tree_map(
-                lambda full, new: blk(full)
-                .at[bidx]
-                .set(new.reshape((KB, block) + new.shape[1:]), mode="drop")
-                .reshape(full.shape),
-                st, stc2)
+            blk = arr.reshape(nb, block, _PACK_COLS)
+            sub = blk[src].reshape(KB * block, _PACK_COLS)
+            out = step(sub)
+            return (blk.at[bidx]
+                    .set(out.reshape(KB, block, _PACK_COLS), mode="drop")
+                    .reshape(R, _PACK_COLS))
 
         return compact
 
@@ -804,52 +838,80 @@ def _block_compact_step(step, st, block):
         if KB < 1:
             continue
         inner = out
-        out = (lambda KB, inner: lambda st: jax.lax.cond(
-            cnt <= KB, compact_at(KB), inner, st))(KB, inner)
-    return out(st)
+        out = (lambda KB, inner: lambda arr: jax.lax.cond(
+            cnt <= KB, compact_at(KB), inner, arr))(KB, inner)
+    return out(arr)
 
 
-def make_step(scene, textures, cfg: RenderConfig):
-    """One bounce-loop step as a reusable state → state function (shared by
-    trace(), the profiler, and the fused-kernel path)."""
+def make_step_packed(scene, textures, cfg: RenderConfig):
+    """One bounce-loop step over the PACKED [R, 16] carry — the form the
+    scan, the step gate, and the compaction tiers all use (one array per
+    boundary)."""
 
     def raw_step(st):
         if _use_fused(scene, cfg, st["ro"]):
             return _fused_step(cfg, scene, textures, st)
         return step_jnp(scene, textures, cfg, st)
 
-    def body(st):
-        R = st["alive"].shape[0]
+    def raw_packed(arr):
+        out = pack_state(raw_step(unpack_state(arr)))
+        # tag for the remat policy (trace()): the step output is SAVED, so
+        # the backward's body-recompute DCEs the whole fused forward (the
+        # pallas probe + fetch machinery) instead of re-running it — the
+        # step's differentiable path lives in the custom VJP, which needs
+        # only the (already saved) input carry.  Cost: one extra [R,16]
+        # per step per chunk (~the carry stack the scan saves anyway).
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(out, "txr_step_out")
+
+    def body(arr):
+        R = arr.shape[0]
         if cfg.gating and R > _STEP_COMPACT_MIN_R:
             from txr.render.fused import _COMPACT_BLOCK
 
-            return _block_compact_step(raw_step, st, _COMPACT_BLOCK)
-        return raw_step(st)
+            return _block_compact_step(raw_packed, arr, _COMPACT_BLOCK)
+        return raw_packed(arr)
 
     return body
 
 
+def make_step(scene, textures, cfg: RenderConfig):
+    """One bounce-loop step as a reusable dict-state → dict-state function
+    (profilers, bench live counts); trace() itself uses the packed form."""
+    bp = make_step_packed(scene, textures, cfg)
+    return lambda st: unpack_state(bp(pack_state(st)))
+
+
 def trace(scene, textures, cfg: RenderConfig, ro, rd):
     """The iterative bounce loop (rt.frag:804-902).  ro, rd: [R,3] →
-    RGB [R,3]."""
-    state = initial_state(ro, rd)
-    body = make_step(scene, textures, cfg)
+    RGB [R,3].  The scan carry is the PACKED [R, 16] state (pack_state):
+    the step gate and compaction tiers then move one array per cond
+    boundary instead of 13."""
+    arr0 = pack_state(initial_state(ro, rd))
+    body = make_step_packed(scene, textures, cfg)
 
-    def scan_body(st, _):
+    def scan_body(arr, _):
         # Fragment shaders break out of the loop per pixel; a TPU batch
         # can't — but it CAN skip a whole step when every ray in the batch
         # is dead (the common case for the refraction-budget tail steps and
         # for sky-dominated ray chunks).  body() is a bit-exact identity on
         # a dead batch, so the gate never changes the image.
         if cfg.gating:
-            st2 = jax.lax.cond(jnp.any(st["alive"]), body, lambda s: s, st)
+            arr2 = jax.lax.cond(
+                jnp.any(arr[:, 14] > 0.5), body, lambda a: a, arr)
         else:
-            st2 = body(st)
-        return st2, None
+            arr2 = body(arr)
+        return arr2, None
 
     if cfg.remat:
-        scan_body = jax.checkpoint(scan_body)
-    state, _ = jax.lax.scan(scan_body, state, None, length=cfg.max_steps)
+        scan_body = jax.checkpoint(
+            scan_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "txr_step_out"),
+        )
+    arr, _ = jax.lax.scan(scan_body, arr0, None, length=cfg.max_steps)
+    state = unpack_state(arr)
 
     # the single deferred environment fetch (see initial_state)
     from txr.utils.ablate import ablated
@@ -857,26 +919,26 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
     if ablated("env"):
         return state["color"]
 
+    missed = state["missed"]
+
     def env_pass(color):
-        rd_env = state["env_rd"]
-        mask = state["env_mask"]
-        R = mask.shape[0] if mask.ndim == 2 else 0
+        rd_env = state["rd"]        # frozen at the miss (dead-ray invariant)
+        mask = jnp.where(missed[..., None], state["mask"], 0.0)
+        R = missed.shape[0] if missed.ndim == 1 else 0
         if cfg.gating and R > _STEP_COMPACT_MIN_R:
             # sky lanes cluster (tiled ray order); fetch only blocks with a
             # recorded miss — placeholder values land on mask == 0 lanes
             from txr.render.fused import _block_compact
 
-            need = jnp.any(mask > 0.0, axis=-1)
             env = _block_compact(
                 lambda rd_: _background(scene, textures, rd_),
-                need, (rd_env,), (3,), rd_env.dtype, keep_frac=2)
+                missed, (rd_env,), (3,), rd_env.dtype, keep_frac=2)
         else:
             env = _background(scene, textures, rd_env)
         return color + env * mask
 
     if cfg.gating:
         return jax.lax.cond(
-            jnp.any(state["env_mask"] > 0.0), env_pass, lambda c: c,
-            state["color"],
+            jnp.any(missed), env_pass, lambda c: c, state["color"],
         )
     return env_pass(state["color"])
