@@ -96,6 +96,11 @@ def child_main(mode):
 
     if mode == "bwd":
         K = 1
+        # smaller chunks for the backward program: its residual temps are
+        # chunk-width-proportional and the 512K-chunk backward sits ~1.4GB
+        # over HBM with the padded pinned-table copies (r4)
+        if cfg.ray_chunk == 1 << 19:
+            cfg = dataclasses.replace(cfg, ray_chunk=1 << 18)
         target = jax.lax.stop_gradient(
             jax.jit(lambda s, t: render(s, t, cfg))(scene, textures))
 

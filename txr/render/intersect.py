@@ -355,14 +355,30 @@ def shadow_factor(scene: Scene, ro, rd, dist, textures=None, one_side_planes=Tru
             )
             if textures is not None and textures.ring is not None:
                 need = ring_hit & textured
+
+                def alpha_fetch():
+                    # block-compact the [R·L·nr] alpha gather to the lanes
+                    # whose shadow ray actually hits a textured ring (this
+                    # full-width fetch was a top backward cost, r4)
+                    flat_need = need.reshape(-1)
+                    flat_uv = ring_uv.reshape(-1, 2)
+                    N = flat_need.shape[0]
+                    from txr.render.fused import (_COMPACT_MIN_R,
+                                                  _block_compact)
+
+                    if N > _COMPACT_MIN_R:
+                        a = _block_compact(
+                            lambda uv_: _ring_shadow_alpha(textures, uv_),
+                            flat_need, (flat_uv,), (), dist.dtype,
+                            keep_frac=4)
+                    else:
+                        a = _ring_shadow_alpha(textures, flat_uv)
+                    a = a.reshape(need.shape)
+                    return jnp.sum(jnp.where(need, a, 0.0), axis=-1)
+
                 alpha_sum = jax.lax.cond(      # the alpha fetch is a gather
                     jnp.any(need),
-                    lambda: jnp.sum(
-                        jnp.where(
-                            need, _ring_shadow_alpha(textures, ring_uv), 0.0
-                        ),
-                        axis=-1,
-                    ),
+                    alpha_fetch,
                     lambda: jnp.zeros_like(dist),
                 )
                 shadow = shadow + alpha_sum

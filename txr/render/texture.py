@@ -124,29 +124,41 @@ class PackedAtlas:
     levels: tuple
     wrap: str = "repeat"
     # RGBA8/A8 storage: same texels with channels packed into uint32 rows —
-    # C=4 → [H,W,4] uint32 (one word per quad texel), C=1 → [H,W] uint32
-    # (whole quad in one word).  4-16× smaller table ⇒ much faster gathers
-    # (small-table regime, PROFILE_r3.md); values identical by construction
-    # (quantize_u8).  Forward-only: texture-content grads use qatlas.
+    # C=4 → [H, W/u8_group, u8_group·4] uint32 (one word per quad texel,
+    # columns grouped to a 128-word minor dim — see BlockAtlas.u8_group),
+    # C=1 → [H,W] uint32 (whole quad in one word).  4-16× smaller table ⇒
+    # much faster gathers; values identical by construction (quantize_u8).
+    # Forward-only: texture-content grads use qatlas.
     qatlas_u8: object = None
+    u8_group: int = 1
 
 
 jax.tree_util.register_dataclass(
     PackedAtlas,
     data_fields=["qatlas", "qatlas_u8"],
-    meta_fields=["base", "h0", "w0", "levels", "wrap"],
+    meta_fields=["base", "h0", "w0", "levels", "wrap", "u8_group"],
 )
 
 
 def _row_major(tab):
     """Constrain a gather table to row-major layout (no-op where the
-    layout API is unavailable, e.g. some CPU paths)."""
+    layout API is unavailable).
+
+    Layout assignment otherwise propagates the u8 decode's column
+    preference into the gather operand ({1,2,0}), turning each gathered
+    row into strided reads — measured 4× slower in-frame (r4 profile;
+    pinning bought 41 ms at 1080p).  Only pin tables whose minor dim is a
+    full 128-lane tile (u8_group layouts): row-major tiling of a 16-word
+    minor dim pads 8× under T(8,128), and per-context padded copies OOM'd
+    the backward."""
     try:
         from jax.experimental.layout import Layout, with_layout_constraint
 
         return with_layout_constraint(tab, Layout(tuple(range(tab.ndim))))
     except Exception:
         return tab
+
+
 
 
 def quantize_u8(x):
@@ -234,6 +246,7 @@ def build_packed_atlas(textures, wrap="repeat", mips=True):
             off += q.shape[0]
     qatlas = jnp.concatenate(rows, axis=0)
     qatlas_u8 = None
+    u8_group = 1
     if C in (1, 4):
         # values are exactly k/255 post-quantize, so round() is lossless
         u = jnp.round(jax.lax.stop_gradient(qatlas) * 255.0).astype(jnp.uint32)
@@ -253,6 +266,7 @@ def build_packed_atlas(textures, wrap="repeat", mips=True):
         levels=tuple(levels),
         wrap=wrap,
         qatlas_u8=qatlas_u8,
+        u8_group=u8_group,
     )
 
 
@@ -299,16 +313,25 @@ class BlockAtlas:
     clamp: tuple
     # RGBA8 storage: the same texels with each texel's 4 channels packed
     # into one uint32 → rows are 16 uint32 instead of 64 f32.  4× smaller
-    # table and ~3× the gather throughput (PROFILE_r3.md u8 study); used by
-    # the forward-only fused path (sample_block(use_u8=True)).  None when
-    # C != 4.  Values identical to qatlas by construction (quantize_u8).
+    # table; used by the fused path and fast_texels
+    # (sample_block(use_u8=True)).  None when C != 4.  Values identical to
+    # qatlas by construction (quantize_u8).
+    #
+    # Shape [H, W/u8_group, u8_group·16]: u8_group (=8 when W % 8 == 0)
+    # adjacent column entries share one 128-word row, so the minor dim is
+    # a full 128-lane tile — the natural row-major layout is unpadded AND
+    # gather-fast (a 16-word minor dim either gets laid out column-major —
+    # 16 strided reads per gathered row, 4× slower, r4 profile — or pads
+    # 8× under T(8,128) when pinned row-major).  The sampler selects the
+    # in-row group with a 7-deep where chain.
     qatlas_u8: object = None
+    u8_group: int = 1
 
 
 jax.tree_util.register_dataclass(
     BlockAtlas,
     data_fields=["qatlas", "qatlas_u8"],
-    meta_fields=["base", "h0", "w0", "levels", "clamp"],
+    meta_fields=["base", "h0", "w0", "levels", "clamp", "u8_group"],
 )
 
 
@@ -364,11 +387,18 @@ def build_block_atlas(textures, wraps, mips=None):
             off += q.shape[0]
     qatlas = jnp.concatenate(rows, axis=0)
     qatlas_u8 = None
+    u8_group = 1
     if C == 4:
         # pack each texel's RGBA into one uint32 (values are exactly k/255
-        # post-quantize, so round() recovers k losslessly)
+        # post-quantize, so round() recovers k losslessly), then group
+        # columns so the minor dim is one full 128-lane tile (see
+        # BlockAtlas.u8_group)
         u = jnp.round(jax.lax.stop_gradient(qatlas) * 255.0).astype(jnp.uint32)
         u = u.reshape(u.shape[0], u.shape[1], 16, 4)
+        # [H, W, 16]: the row-major pin at the sample site pads the 16-word
+        # minor dim to a 128 tile — same bytes as an 8-column group, and
+        # measured faster than the grouped [H, W/8, 128] + select-chain
+        # variant (94 vs 122 ms frames, r4)
         qatlas_u8 = (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
                      | (u[..., 3] << 24))
     return BlockAtlas(
@@ -379,6 +409,7 @@ def build_block_atlas(textures, wraps, mips=None):
         levels=tuple(levels),
         clamp=tuple(clamp),
         qatlas_u8=qatlas_u8,
+        u8_group=u8_group,
     )
 
 
@@ -460,13 +491,25 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
         # [R,16,4]/[R,4,4,4] intermediates (measured ~10 ms per full-width
         # 512K pass for the reshaping form — scripts/fetch_decomp.py).
         # Values are bit-identical to the f32 branch below by construction.
-        # pin the table to row-major for the gather: layout assignment
-        # otherwise propagates the decode's column preference into the
-        # operand ({1,2,0}), turning each gathered row into 16 strided
-        # reads (measured ~4× slower in-frame, r4 profile)
-        tab = _row_major(ba.qatlas_u8)
-        qi = tab[row, gu]                                   # [...,16] uint32
-        w = [qi[..., j] for j in range(16)]
+        G = ba.u8_group
+        if G > 1:
+            qi = _row_major(ba.qatlas_u8)[row, gu // G]   # [..., G·16] u32
+            grp = gu % G
+
+            def word(j):
+                out = qi[..., j]
+                for g in range(1, G):
+                    out = jnp.where(grp == g, qi[..., g * 16 + j], out)
+                return out
+
+            w = [word(j) for j in range(16)]
+        else:
+            # pin adjacent to the gather (it does NOT survive loop/cond
+            # boundaries from further away — measured); this is the ONE
+            # pinned table — pinning the f32/cubemap tables too gave the
+            # backward a padded copy per cond context and OOM'd the chip
+            qi = _row_major(ba.qatlas_u8)[row, gu]   # [..., 16] uint32
+            w = [qi[..., j] for j in range(16)]
 
         def sel16(widx):
             out = w[0]
@@ -518,7 +561,7 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
             out_ch.append(lo_c * (1 - f_s) + hi_c * f_s)
         return jnp.stack(out_ch, axis=-1)
     else:
-        q = _row_major(ba.qatlas)[row, gu]                  # the ONE gather
+        q = ba.qatlas[row, gu]                              # the ONE gather
         blk = q.reshape(q.shape[:-1] + (4, 4, q.shape[-1] // 16))
 
     # level-l0 bilinear quad (selects within the block)
@@ -746,17 +789,17 @@ def _fetch_level_packed(pa: PackedAtlas, b, h0, w0, uv, level, use_u8=False):
     row = b + h2 - jnp.right_shift(h2, level) + cv
     dt = uv.dtype
     if use_u8 and pa.qatlas_u8 is not None:
-        qi = _row_major(pa.qatlas_u8)[row, cu]   # [R, 4] or [R] uint32
         unpack = lambda w: jnp.stack(
             [((w >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(dt) / 255.0
              for s in (0, 8, 16, 24)], axis=-1)
+        qi = pa.qatlas_u8[row, cu]               # [R, 4] or [R] uint32
         if qi.ndim == row.ndim:                  # C == 1: quad in one word
             a4 = unpack(qi)                      # [R, 4] = the four taps
             c00, c01, c10, c11 = (a4[..., i : i + 1] for i in range(4))
         else:                                    # C == 4: word per texel
             c00, c01, c10, c11 = (unpack(qi[..., i]) for i in range(4))
     else:
-        q = _row_major(pa.qatlas)[row, cu]       # [R, 4C] — the one gather
+        q = pa.qatlas[row, cu]                   # [R, 4C] — the one gather
         C = q.shape[-1] // 4
         c00, c01, c10, c11 = (q[..., :C], q[..., C:2 * C],
                               q[..., 2 * C:3 * C], q[..., 3 * C:])

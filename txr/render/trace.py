@@ -652,12 +652,26 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
             # The reference pays getReflectedColor only on fragments that
             # take the branch (rt.frag:851-855); a masked TPU batch would
             # pay its full nearest-hit + shade for everyone, so gate the
-            # whole pass on "any ray needs it" — most steps have none.
+            # whole pass on "any ray needs it" AND block-compact to the
+            # glossy lanes (rare — this pass full-width was ~190 ms of the
+            # r4 backward, where this body is the VJP recompute).
+            ro_g = shade_origin_out
+            rd_g = reflect(rd, n)
+
+            def _rc():
+                R = glossy.shape[0] if glossy.ndim == 1 else 0
+                from txr.render.fused import _COMPACT_MIN_R, _block_compact
+
+                if R > _COMPACT_MIN_R:
+                    return _block_compact(
+                        lambda o, d: _reflected_color(
+                            scene, textures, cfg, o, d),
+                        glossy, (ro_g, rd_g), (3,), ro_g.dtype, keep_frac=8)
+                return _reflected_color(scene, textures, cfg, ro_g, rd_g)
+
             def glossy_pass(cm):
                 color, mask = cm
-                rc = _reflected_color(
-                    scene, textures, cfg, shade_origin_out, reflect(rd, n)
-                )
+                rc = _rc()
                 color = jnp.where(
                     glossy[..., None],
                     color + rc * reflect_mult[..., None] * mask,
