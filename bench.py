@@ -8,6 +8,20 @@ The reference publishes no numbers (BASELINE.md); the derived parity point
 is 1280x720 @ 60 FPS ≈ 5.5e7 forward primary rays/s — what "real-time"
 meant for the reference demo.  vs_baseline = forward rays/s / 5.5e7.
 
+Phase order is budget-driven (r4 post-mortem: the AA-quality extras ran
+BEFORE the fwd+bwd chain and their 6×6-SSAA truth compile blew the driver
+timeout, so the round's headline number never printed).  Now the phases
+run cheapest-risk-first and the JSON line prints the moment the fwd+bwd
+measurement lands:
+
+  1. correctness gate (small on-device render vs the f64 oracle)
+  2. forward chain
+  3. analytic FLOP model (one quarter-res compile, seconds)
+  4. forward+backward chain        ← the BASELINE north-star
+  5. print the ONE JSON line
+  6. nothing else.  AA-quality evidence lives in
+     scripts/aa_1080p_evidence.py → AA_r05.json (run separately).
+
 Methodology — this runtime is a tunneled TPU, and both sides of the tunnel
 lie to naive timers:
 
@@ -42,15 +56,25 @@ BASELINE_FWD_RAYS_PER_S = 5.5e7  # BASELINE.md derived reference-parity point
 V5E_PEAK_FLOPS = 197e12          # public v5e bf16 peak, plausibility bound
 GATE_W, GATE_H = 96, 54
 GATE_TOL, GATE_EDGE_FRAC = 2e-3, 0.015
+GATE_EDGE_ABS = 0.5              # secondary bound: NO pixel may be off by
+                                 # more than this (test_golden edge_tol)
 CALL_LATENCY_S = 0.024           # measured tunnel round-trip floor
+
+_T0 = time.monotonic()
+
+
+def _log(msg):
+    print(f"# [{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
 
 
 def _correctness_gate(scene_fn, textures, cfg_cls, on_tpu, extra_steps=8):
     """Render the demo scene small ON DEVICE and compare to the f64 oracle.
     Runs the same refraction-step budget as the perf config so the gated
-    program IS the measured program."""
-    import jax
-
+    program IS the measured program.  Dual criterion (test_golden):
+    ≤1.5% of pixels over 2e-3, AND no pixel off by more than 0.5 absolute
+    (a branch-flip bound — edge pixels may disagree on which side of a
+    silhouette they fall, but never on unrelated colours)."""
     from txr.render.render import render_jit
     from txr.ref.cpu_reference import render_oracle
 
@@ -61,20 +85,19 @@ def _correctness_gate(scene_fn, textures, cfg_cls, on_tpu, extra_steps=8):
     want = np.asarray(render_oracle(scene, textures, cfg), np.float64)
     diff = np.abs(got - want).max(axis=-1)
     frac_bad = float((diff > GATE_TOL).mean())
-    ok = frac_bad <= GATE_EDGE_FRAC
-    print(
-        f"# correctness gate ({'TPU' if on_tpu else 'CPU'} {GATE_W}x{GATE_H}): "
-        f"{frac_bad:.3%} pixels over tol (limit {GATE_EDGE_FRAC:.1%}) -> "
-        f"{'PASS' if ok else 'FAIL'}",
-        file=sys.stderr,
+    worst = float(diff.max())
+    ok = frac_bad <= GATE_EDGE_FRAC and worst <= GATE_EDGE_ABS
+    _log(
+        f"correctness gate ({'TPU' if on_tpu else 'CPU'} {GATE_W}x{GATE_H}): "
+        f"{frac_bad:.3%} pixels over tol (limit {GATE_EDGE_FRAC:.1%}), "
+        f"worst |err| {worst:.3f} (limit {GATE_EDGE_ABS}) -> "
+        f"{'PASS' if ok else 'FAIL'}"
     )
     return ok, frac_bad
 
 
 def _timed_chain(build_chain, iters=2):
     """min wall time of a jitted K-frame chain, scalar-fenced."""
-    import jax
-
     fn = build_chain()
     v = float(np.asarray(fn()))   # compile + first run
     assert np.isfinite(v), "chained benchmark produced non-finite output"
@@ -164,10 +187,9 @@ def main():
 
     t_fwd = _timed_chain(fwd_chain) / K_FWD
     fwd_rays = n_rays / t_fwd
-    print(
-        f"# forward: {t_fwd*1e3:.1f} ms/frame = {fwd_rays:,.0f} rays/s "
-        f"({1/t_fwd:.1f} FPS at {W}x{H}, {K_FWD}-frame chain)",
-        file=sys.stderr,
+    _log(
+        f"forward: {t_fwd*1e3:.1f} ms/frame = {fwd_rays:,.0f} rays/s "
+        f"({1/t_fwd:.1f} FPS at {W}x{H}, {K_FWD}-frame chain)"
     )
 
     # Analytic FLOP model (txr/utils/flops.py).  XLA cost analysis cannot
@@ -176,13 +198,12 @@ def main():
     # weighted by the live-ray fraction per bounce step measured on an
     # instrumented quarter-res render (same scene/config, no gating — the
     # live distribution is resolution-invariant to well under the model's
-    # own ~2x accuracy).  Exclusions are documented in txr/utils/flops.py.
+    # own ~2x accuracy).  One small compile; skipped on any error.
     flops_per_ray = achieved_tflops = mfu = None
     try:
         from txr.utils.flops import frame_flops_per_ray
         from txr.render.trace import initial_state, make_step
         from txr.render.raygen import primary_rays
-        from txr.render.texture import with_mips
 
         lw, lh = W // 4, H // 4
         cfg0 = dataclasses.replace(cfg, width=lw, height=lh,
@@ -202,71 +223,16 @@ def main():
         flops_per_ray = frame_flops_per_ray(scene, cfg, lf)
         achieved_tflops = flops_per_ray * n_rays / t_fwd / 1e12
         mfu = achieved_tflops * 1e12 / V5E_PEAK_FLOPS
-        print(
-            f"# analytic cost: {flops_per_ray:,.0f} flops/ray "
+        _log(
+            f"analytic cost: {flops_per_ray:,.0f} flops/ray "
             f"(live/step: {' '.join(f'{x:.3f}' for x in lf)}) -> "
             f"{achieved_tflops:.2f} TFLOP/s achieved "
-            f"({mfu:.1%} of v5e bf16 peak)",
-            file=sys.stderr,
+            f"({mfu:.1%} of v5e bf16 peak)"
         )
     except Exception as e:  # the flop model is best-effort
-        print(f"# analytic cost unavailable: {e}", file=sys.stderr)
+        _log(f"analytic cost unavailable: {e}")
 
-    # -- edge-adaptive AA (the SMAA-replacement quality/cost point) ----------
-    aa_fields = {}
-    try:
-        aa_cfg = cfg.with_aa_preset("ultra", mode="edge")
-
-        def aa_chain():
-            @jax.jit
-            def chain(scene, textures):
-                acc = jnp.float32(0.0)
-                for _ in range(K_FWD):
-                    s = dataclasses.replace(
-                        scene, camera=dataclasses.replace(
-                            scene.camera, pos=scene.camera.pos + acc * 1e-30
-                        )
-                    )
-                    acc = acc + jnp.sum(render(s, textures, aa_cfg))
-                return acc
-            return lambda: chain(scene, textures)
-
-        t_aa = _timed_chain(aa_chain) / K_FWD
-
-        truth = np.asarray(jax.jit(
-            lambda s, t: render(s, t, dataclasses.replace(
-                cfg, supersample=6, aa_mode="ssaa")))(scene, textures),
-            np.float64)
-
-        def psnr(img):
-            mse = float(np.mean((np.asarray(img, np.float64) - truth) ** 2))
-            return round(10.0 * np.log10(1.0 / max(mse, 1e-12)), 2)
-
-        p_1 = psnr(jax.jit(
-            lambda s, t: render(s, t, cfg))(scene, textures))
-        p_edge = psnr(jax.jit(
-            lambda s, t: render(s, t, aa_cfg))(scene, textures))
-        p_ssaa4 = psnr(jax.jit(
-            lambda s, t: render(s, t, dataclasses.replace(
-                cfg, supersample=4, aa_mode="ssaa")))(scene, textures))
-        aa_fields = {
-            "aa_edge_ultra_ms": round(t_aa * 1e3, 2),
-            "aa_cost_vs_1spp": round(t_aa / t_fwd, 3),
-            "aa_psnr_1spp": p_1,
-            "aa_psnr_edge_ultra": p_edge,
-            "aa_psnr_ssaa4": p_ssaa4,
-        }
-        print(
-            f"# edge AA (ultra): {t_aa*1e3:.1f} ms = {t_aa/t_fwd:.2f}x the "
-            f"1-spp frame; PSNR vs 6x6 truth: 1spp {p_1} dB, edge-ultra "
-            f"{p_edge} dB, uniform SSAA-4x {p_ssaa4} dB",
-            file=sys.stderr,
-        )
-    except Exception as e:  # AA metrics are best-effort
-        print(f"# edge AA metrics unavailable: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # -- forward + backward ---------------------------------------------------
+    # -- forward + backward (the north-star; nothing expensive before it) ----
     target = jax.lax.stop_gradient(
         jax.jit(lambda s, t: render(s, t, cfg))(scene, textures)
     )
@@ -294,14 +260,13 @@ def main():
     try:
         t_fb = _timed_chain(fb_chain) / K_FB
         fb_rays = n_rays / t_fb
-        print(
-            f"# forward+backward: {t_fb*1e3:.1f} ms = {fb_rays:,.0f} rays/s "
-            f"({K_FB}-frame chain)",
-            file=sys.stderr,
+        _log(
+            f"forward+backward: {t_fb*1e3:.1f} ms = {fb_rays:,.0f} rays/s "
+            f"({K_FB}-frame chain)"
         )
         fb_fields = {"value": round(fb_rays), "fwd_bwd_ms": round(t_fb * 1e3, 2)}
     except Exception as e:  # report forward even if backward faults
-        print(f"# backward failed: {type(e).__name__}: {e}", file=sys.stderr)
+        _log(f"backward failed: {type(e).__name__}: {e}")
         fb_fields = {"value": round(fwd_rays), "fwd_bwd_ms": None,
                      "note": "backward faulted; value = forward rays/s"}
 
@@ -318,10 +283,11 @@ def main():
         "mfu_vs_v5e_bf16_peak": None if mfu is None else round(mfu, 4),
         "resolution": f"{W}x{H}",
         "device": str(dev),
+        "elapsed_s": round(time.monotonic() - _T0, 1),
     }
-    result.update(aa_fields)
     result.update(fb_fields)
     print(json.dumps(result))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

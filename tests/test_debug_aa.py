@@ -129,3 +129,31 @@ def test_render_debug_channels():
     # plane normal points up
     up = n[ty == TYPE_PLANE]
     np.testing.assert_allclose(up[:, 1], 1.0, atol=1e-4)
+
+
+def test_render_debug_per_bounce():
+    """DBG parity for later iterations (rt.frag:232-271 can dump values at
+    any bounce): bounce=1 must show the continuation rays — fewer alive
+    lanes, attenuated masks on the reflective sphere, and a hit topology
+    different from the primary one."""
+    scene, tex = config1_scene()
+    cfg = RenderConfig(width=48, height=32, refractive_glossy=False)
+    d0 = render_debug(scene, tex, cfg, bounce=0)
+    d1 = render_debug(scene, tex, cfg, bounce=1)
+
+    a0, a1 = np.array(d0["alive"]), np.array(d1["alive"])
+    assert a0.all()                       # every primary ray starts alive
+    assert a1.sum() < a0.sum()            # diffuse hits + misses died
+    assert a1.any()                       # the reflective sphere continues
+
+    m1 = np.array(d1["mask"])
+    # continuing rays carry the Fresnel-attenuated throughput (< 1)
+    assert (m1[a1].max(-1) < 1.0).all()
+    # masks are frozen (=1·attenuations so far), finite everywhere
+    assert np.isfinite(m1).all()
+
+    # the bounce-1 sweep sees a different hit set than the primary
+    t1 = np.array(d1["t"])
+    assert np.isfinite(t1[a1]).any()
+    ty1 = np.array(d1["type"])
+    assert (ty1[~a1] == -1).all()

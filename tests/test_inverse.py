@@ -15,7 +15,7 @@ from txr.render.trace import RenderConfig
 from txr.render.render import render_jit
 from txr.diff import optimize_scene
 
-CFG = RenderConfig(width=40, height=40, iterations=2, refractive_glossy=False)
+CFG = RenderConfig(width=40, height=40, iterations=2)
 # a textured floor makes the camera pose well-observed (an untextured scene
 # leaves camera↔object translation nearly degenerate)
 TEX = TextureSet(box=checkerboard(64, 64, tiles=16))
@@ -61,6 +61,60 @@ def test_camera_and_primitive_recovery():
     assert cam_err < 0.5 * cam_err0, (cam_err0, cam_err)
     # quat stays unit (optimised through the normalise pullback)
     assert abs(float(jnp.sum(recovered.camera.quat ** 2)) - 1.0) < 1e-3
+
+
+def test_texture_recovery():
+    """Texture-CONTENT recovery through the DEFAULT (fast_texels=True)
+    path: perturb a patch of the floor texture, optimise ONLY the texture
+    leaf against the clean render, and require the loss to collapse and
+    the patch to move back toward the truth.  Regression for ADVICE r4
+    (high): the u8 fetch used to zero content gradients silently, which
+    froze exactly this optimisation."""
+    import jax
+    import optax
+
+    target_scene = _with_floor_texture(
+        make_scene((0.3, 0.2, 6.0), 1.0, (0.1, 0.2, 0.9), (0, 0, -5))
+    )
+    target = render_jit(target_scene, TEX, CFG)
+
+    true_box = TEX.box
+    # a uniform, non-clipping shift: mip-level sampling spreads each
+    # observed gradient over a 2^l×2^l block of level-0 texels, so only a
+    # perturbation that is constant within blocks is identifiable from
+    # coarse-LOD observations (clipped white texels would alias)
+    bad_box = true_box.at[8:24, 8:24, :3].add(-0.18)
+
+    opt = optax.adam(0.05)
+
+    def loss_fn(box):
+        t = dataclasses.replace(TEX, box=box)
+        return jnp.mean((render_jit(target_scene, t, CFG) - target) ** 2)
+
+    @jax.jit
+    def step(box, opt_state):
+        loss, g = jax.value_and_grad(loss_fn)(box)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(box, upd), opt_state, loss
+
+    # only texels the 40×40 render actually observes can be recovered;
+    # everything else keeps its (wrong) value and stays out of the check
+    g0 = jax.jit(jax.grad(loss_fn))(bad_box)
+    seen = np.asarray(jnp.abs(g0[..., :3]).sum(-1) > 1e-12)
+    assert seen[8:24, 8:24].sum() >= 8, "perturbed patch barely visible"
+
+    box = bad_box
+    opt_state = opt.init(box)
+    losses = []
+    for _ in range(40):
+        box, opt_state, l = step(box, opt_state)
+        losses.append(float(l))
+    assert losses[-1] < 0.15 * losses[0], (losses[0], losses[-1])
+    # observed texels in the perturbed patch moved back toward the truth
+    m = seen[8:24, 8:24]
+    err0 = float(np.abs(np.asarray(bad_box - true_box))[8:24, 8:24][m].mean())
+    err1 = float(np.abs(np.asarray(jnp.clip(box, 0, 1) - true_box))[8:24, 8:24][m].mean())
+    assert err1 < 0.6 * err0, (err0, err1)
 
 
 def test_checkpoint_resume_bit_identical(tmp_path):

@@ -25,6 +25,7 @@ import numpy as np
 
 GATE_W, GATE_H = 96, 54
 GATE_TOL, GATE_EDGE_FRAC = 2e-3, 0.015
+GATE_EDGE_ABS = 0.5   # dual criterion: no pixel may be off by more than this
 
 
 def main():
@@ -66,9 +67,12 @@ def main():
     want = np.asarray(render_oracle(scene, textures, cfg), np.float64)
     diff = np.abs(got - want).max(axis=-1)
     frac = float((diff > GATE_TOL).mean())
-    gate_ok = bool(frac <= GATE_EDGE_FRAC) and bool(np.isfinite(got).all())
+    gate_ok = (bool(frac <= GATE_EDGE_FRAC) and bool(np.isfinite(got).all())
+               and bool(diff.max() <= GATE_EDGE_ABS))
     results["golden_gate"] = {
-        "frac_over_tol": round(frac, 5), "limit": GATE_EDGE_FRAC, "ok": gate_ok}
+        "frac_over_tol": round(frac, 5), "limit": GATE_EDGE_FRAC,
+        "worst_abs": round(float(diff.max()), 4), "abs_limit": GATE_EDGE_ABS,
+        "ok": gate_ok}
     ok_all &= gate_ok
     print(f"# golden gate: {frac:.3%} over tol -> {'PASS' if gate_ok else 'FAIL'}",
           file=sys.stderr)

@@ -35,6 +35,26 @@ def _untile_order(x, hs, ws):
     return t.transpose(0, 2, 1, 3, 4).reshape(hs * ws, x.shape[-1])
 
 
+def _chunked_trace(scene, textures, cfg: RenderConfig, ro, rd):
+    """trace() under the cfg.ray_chunk memory bound: a lax.map over
+    fixed-size ray chunks, so HBM holds one chunk's [rays × primitives]
+    intermediates at a time.  Shared by the base pass and the edge-AA
+    re-render (both can exceed the envelope at 1080p)."""
+    if cfg.ray_chunk and ro.shape[0] > cfg.ray_chunk:
+        n = ro.shape[0]
+        chunk = cfg.ray_chunk
+        pad = (-n) % chunk
+        if pad:
+            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))])
+            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
+        color = jax.lax.map(
+            lambda ord_: trace(scene, textures, cfg, ord_[0], ord_[1]),
+            (ro.reshape(-1, chunk, 3), rd.reshape(-1, chunk, 3)),
+        ).reshape(-1, 3)
+        return color[:n] if pad else color
+    return trace(scene, textures, cfg, ro, rd)
+
+
 def render(scene, textures, cfg: RenderConfig):
     """→ image [H, W, 3] float32, row 0 = top."""
     # packed sampling atlases (+ mip pyramids) built once per frame inside
@@ -55,22 +75,7 @@ def render(scene, textures, cfg: RenderConfig):
     if tiled:
         ro = _tile_order(ro, hs, ws)
         rd = _tile_order(rd, hs, ws)
-    if cfg.ray_chunk:
-        n = ro.shape[0]
-        chunk = cfg.ray_chunk
-        pad = (-n) % chunk
-        if pad:
-            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))])
-            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
-        ro = ro.reshape(-1, chunk, 3)
-        rd = rd.reshape(-1, chunk, 3)
-        color = jax.lax.map(
-            lambda ord_: trace(scene, textures, cfg, ord_[0], ord_[1]), (ro, rd)
-        ).reshape(-1, 3)
-        if pad:
-            color = color[:n]
-    else:
-        color = trace(scene, textures, cfg, ro, rd)
+    color = _chunked_trace(scene, textures, cfg, ro, rd)
     if tiled:
         color = _untile_order(color, hs, ws)
     if ss > 1:
@@ -135,36 +140,57 @@ def _edge_aa(scene, textures, cfg: RenderConfig, base):
     y = (H - r[:, None]).astype(base.dtype) - (jy[None, :] + 0.5) / k
     rd = ray_dirs(scene.camera.quat, x, y, W, H).reshape(-1, 3)
     ro = jnp.broadcast_to(scene.camera.pos, rd.shape)
-    col = trace(scene, textures, cfg, ro, rd)
+    col = _chunked_trace(scene, textures, cfg, ro, rd)
     aa = col.reshape(K, k * k, 3).mean(axis=1)
     out = base.reshape(-1, 3).at[pix].set(aa, mode="drop")
     return out.reshape(H, W, 3)
 
 
-def render_debug(scene, textures, cfg: RenderConfig):
-    """Primary-hit debug channels — the TPU analog of the reference's DBG
-    compile flag that paints intermediate shader values into FragColor
-    (rt.frag:151-153, 232-271, 897-901).
+def render_debug(scene, textures, cfg: RenderConfig, bounce: int = 0):
+    """Per-bounce debug channels — the TPU analog of the reference's DBG
+    compile flag that paints intermediate shader values into FragColor at
+    any chosen iteration, first-write-wins (rt.frag:151-153, 232-271,
+    897-901).
 
-    Returns a dict of [H, W, ...] arrays for the primary (bounce-0) hit:
-      t       — hit distance (+inf on miss)
+    ``bounce`` selects the step: 0 = the primary hit; k > 0 advances the
+    real bounce loop k steps (same step body as render()) and reports the
+    state of the rays *entering* step k.
+
+    Returns a dict of [H, W, ...] arrays:
+      t       — hit distance of step k's nearest hit (+inf on miss)
       type    — primitive type id (−1 on miss; txr.scene.types.TYPE_*)
       index   — per-type primitive index of the winner
-      normal  — shading normal (zeros on miss)
+      normal  — shading normal at the step-k hit (zeros on miss)
+      mask    — the ray's accumulated throughput mask entering step k
+      alive   — whether the ray is still tracing at step k
     """
-    from txr.render.intersect import nearest_hit
-    from txr.render.trace import hit_info
+    import dataclasses
 
-    ro, rd = primary_rays(scene.camera, cfg.width, cfg.height, 1)
+    from txr.render.intersect import nearest_hit
+    from txr.render.trace import hit_info, initial_state, make_step
+
+    textures = with_mips(textures)
+    ro0, rd0 = primary_rays(scene.camera, cfg.width, cfg.height, 1)
+    st = initial_state(ro0, rd0)
+    if bounce > 0:
+        # ungated step body: the debug dump must not skip dead-batch steps,
+        # and tiny debug resolutions sit below the compaction thresholds
+        dbg_cfg = dataclasses.replace(cfg, gating=False)
+        body = make_step(scene, textures, dbg_cfg)
+        for _ in range(bounce):
+            st = body(st)
+    ro, rd = st["ro"], st["rd"]
     t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside, cfg.backend)
     hi = hit_info(scene, textures, ro, rd, t, ty, idx)
-    hit = jnp.isfinite(t)
+    hit = jnp.isfinite(t) & st["alive"]
     sh = (cfg.height, cfg.width)
     return dict(
-        t=t.reshape(sh),
+        t=jnp.where(hit, t, jnp.inf).reshape(sh),
         type=jnp.where(hit, ty, -1).reshape(sh),
         index=jnp.where(hit, idx, -1).reshape(sh),
         normal=jnp.where(hit[..., None], hi["normal"], 0.0).reshape(sh + (3,)),
+        mask=st["mask"].reshape(sh + (3,)),
+        alive=st["alive"].reshape(sh),
     )
 
 

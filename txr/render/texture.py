@@ -124,19 +124,17 @@ class PackedAtlas:
     levels: tuple
     wrap: str = "repeat"
     # RGBA8/A8 storage: same texels with channels packed into uint32 rows —
-    # C=4 → [H, W/u8_group, u8_group·4] uint32 (one word per quad texel,
-    # columns grouped to a 128-word minor dim — see BlockAtlas.u8_group),
-    # C=1 → [H,W] uint32 (whole quad in one word).  4-16× smaller table ⇒
-    # much faster gathers; values identical by construction (quantize_u8).
-    # Forward-only: texture-content grads use qatlas.
+    # C=4 → [H, W, 4] uint32 (one word per quad texel), C=1 → [H,W] uint32
+    # (whole quad in one word).  4-16× smaller table ⇒ much faster gathers;
+    # values identical by construction (quantize_u8).  Primal-only storage:
+    # texture-content grads linearize through qatlas.
     qatlas_u8: object = None
-    u8_group: int = 1
 
 
 jax.tree_util.register_dataclass(
     PackedAtlas,
     data_fields=["qatlas", "qatlas_u8"],
-    meta_fields=["base", "h0", "w0", "levels", "wrap", "u8_group"],
+    meta_fields=["base", "h0", "w0", "levels", "wrap"],
 )
 
 
@@ -147,10 +145,9 @@ def _row_major(tab):
     Layout assignment otherwise propagates the u8 decode's column
     preference into the gather operand ({1,2,0}), turning each gathered
     row into strided reads — measured 4× slower in-frame (r4 profile;
-    pinning bought 41 ms at 1080p).  Only pin tables whose minor dim is a
-    full 128-lane tile (u8_group layouts): row-major tiling of a 16-word
-    minor dim pads 8× under T(8,128), and per-context padded copies OOM'd
-    the backward."""
+    pinning bought 41 ms at 1080p).  Use sparingly: row-major tiling of a
+    16-word minor dim pads 8× under T(8,128), and per-context padded
+    copies OOM'd the backward when every table was pinned."""
     try:
         from jax.experimental.layout import Layout, with_layout_constraint
 
@@ -246,7 +243,6 @@ def build_packed_atlas(textures, wrap="repeat", mips=True):
             off += q.shape[0]
     qatlas = jnp.concatenate(rows, axis=0)
     qatlas_u8 = None
-    u8_group = 1
     if C in (1, 4):
         # values are exactly k/255 post-quantize, so round() is lossless
         u = jnp.round(jax.lax.stop_gradient(qatlas) * 255.0).astype(jnp.uint32)
@@ -266,7 +262,6 @@ def build_packed_atlas(textures, wrap="repeat", mips=True):
         levels=tuple(levels),
         wrap=wrap,
         qatlas_u8=qatlas_u8,
-        u8_group=u8_group,
     )
 
 
@@ -315,23 +310,18 @@ class BlockAtlas:
     # into one uint32 → rows are 16 uint32 instead of 64 f32.  4× smaller
     # table; used by the fused path and fast_texels
     # (sample_block(use_u8=True)).  None when C != 4.  Values identical to
-    # qatlas by construction (quantize_u8).
-    #
-    # Shape [H, W/u8_group, u8_group·16]: u8_group (=8 when W % 8 == 0)
-    # adjacent column entries share one 128-word row, so the minor dim is
-    # a full 128-lane tile — the natural row-major layout is unpadded AND
-    # gather-fast (a 16-word minor dim either gets laid out column-major —
-    # 16 strided reads per gathered row, 4× slower, r4 profile — or pads
-    # 8× under T(8,128) when pinned row-major).  The sampler selects the
-    # in-row group with a 7-deep where chain.
+    # qatlas by construction (quantize_u8).  Shape [H, W, 16]: the sampler
+    # pins it row-major at the gather site (_row_major) — T(8,128) pads the
+    # 16-word minor dim, trading 8× padding for contiguous gathered rows
+    # (measured faster than a grouped [H, W/8, 128] layout: 94 vs 122 ms
+    # frames, r4).
     qatlas_u8: object = None
-    u8_group: int = 1
 
 
 jax.tree_util.register_dataclass(
     BlockAtlas,
     data_fields=["qatlas", "qatlas_u8"],
-    meta_fields=["base", "h0", "w0", "levels", "clamp", "u8_group"],
+    meta_fields=["base", "h0", "w0", "levels", "clamp"],
 )
 
 
@@ -387,18 +377,11 @@ def build_block_atlas(textures, wraps, mips=None):
             off += q.shape[0]
     qatlas = jnp.concatenate(rows, axis=0)
     qatlas_u8 = None
-    u8_group = 1
     if C == 4:
         # pack each texel's RGBA into one uint32 (values are exactly k/255
-        # post-quantize, so round() recovers k losslessly), then group
-        # columns so the minor dim is one full 128-lane tile (see
-        # BlockAtlas.u8_group)
+        # post-quantize, so round() recovers k losslessly) — [H, W, 16]
         u = jnp.round(jax.lax.stop_gradient(qatlas) * 255.0).astype(jnp.uint32)
         u = u.reshape(u.shape[0], u.shape[1], 16, 4)
-        # [H, W, 16]: the row-major pin at the sample site pads the 16-word
-        # minor dim to a 128 tile — same bytes as an 8-column group, and
-        # measured faster than the grouped [H, W/8, 128] + select-chain
-        # variant (94 vs 122 ms frames, r4)
         qatlas_u8 = (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
                      | (u[..., 3] << 24))
     return BlockAtlas(
@@ -409,7 +392,6 @@ def build_block_atlas(textures, wraps, mips=None):
         levels=tuple(levels),
         clamp=tuple(clamp),
         qatlas_u8=qatlas_u8,
-        u8_group=u8_group,
     )
 
 
@@ -491,25 +473,12 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
         # [R,16,4]/[R,4,4,4] intermediates (measured ~10 ms per full-width
         # 512K pass for the reshaping form — scripts/fetch_decomp.py).
         # Values are bit-identical to the f32 branch below by construction.
-        G = ba.u8_group
-        if G > 1:
-            qi = _row_major(ba.qatlas_u8)[row, gu // G]   # [..., G·16] u32
-            grp = gu % G
-
-            def word(j):
-                out = qi[..., j]
-                for g in range(1, G):
-                    out = jnp.where(grp == g, qi[..., g * 16 + j], out)
-                return out
-
-            w = [word(j) for j in range(16)]
-        else:
-            # pin adjacent to the gather (it does NOT survive loop/cond
-            # boundaries from further away — measured); this is the ONE
-            # pinned table — pinning the f32/cubemap tables too gave the
-            # backward a padded copy per cond context and OOM'd the chip
-            qi = _row_major(ba.qatlas_u8)[row, gu]   # [..., 16] uint32
-            w = [qi[..., j] for j in range(16)]
+        # The row-major pin goes adjacent to the gather (it does NOT
+        # survive loop/cond boundaries from further away — measured); this
+        # is the ONE pinned table — pinning the f32/cubemap tables too gave
+        # the backward a padded copy per cond context and OOM'd the chip.
+        qi = _row_major(ba.qatlas_u8)[row, gu]   # [..., 16] uint32
+        w = [qi[..., j] for j in range(16)]
 
         def sel16(widx):
             out = w[0]
@@ -598,11 +567,74 @@ def sample_block(ba: BlockAtlas, k, uv, lod=None, use_u8=False):
     return lo * (1 - f) + hi * f
 
 
-def sample_atlas(pa, k, uv, lod=None, use_u8=False):
+def _sample_atlas_raw(pa, k, uv, lod, use_u8):
     """Dispatch: BlockAtlas (one gather) or PackedAtlas (1-2 gathers)."""
     if isinstance(pa, BlockAtlas):
         return sample_block(pa, k, uv, lod, use_u8=use_u8)
-    return sample_packed(pa, k, uv, lod)
+    return sample_packed(pa, k, uv, lod, use_u8=use_u8)
+
+
+def sample_atlas(pa, k, uv, lod=None, use_u8=False):
+    """Texture fetch from either atlas flavour.
+
+    ``use_u8`` gathers the uint32-packed storage (4× smaller table, much
+    faster — the fast_texels path) through a custom VJP so EVERY gradient
+    survives, including texture content (ADVICE r4: the bare u8 decode is
+    integer, so it silently zeroed content grads): the u8 and f32 atlases
+    store identical values (quantize_u8), so the u8 primal is exact and
+    the backward may linearise wherever convenient — uv/lod cotangents
+    come from re-differentiating the u8 decode (no extra table gather);
+    the content cotangent linearises through the f32 atlas, and its whole
+    chain (one f32 gather + transpose scatter) is DCE'd by XLA whenever
+    the caller doesn't differentiate w.r.t. textures."""
+    if not use_u8:
+        return _sample_atlas_raw(pa, k, uv, lod, False)
+    if lod is None:
+        return _sample_atlas_u8(pa, k, uv)
+    return _sample_atlas_u8_lod(pa, k, uv, lod)
+
+
+@jax.custom_vjp
+def _sample_atlas_u8(pa, k, uv):
+    return _sample_atlas_raw(pa, k, uv, None, True)
+
+
+def _sample_atlas_u8_fwd(pa, k, uv):
+    return _sample_atlas_u8(pa, k, uv), (pa, k, uv)
+
+
+def _sample_atlas_u8_bwd(res, g):
+    pa, k, uv = res
+    _, vjp_uv = jax.vjp(lambda uv_: _sample_atlas_raw(pa, k, uv_, None, True), uv)
+    (guv,) = vjp_uv(g)
+    _, vjp_pa = jax.vjp(lambda pa_: _sample_atlas_raw(pa_, k, uv, None, False), pa)
+    (gpa,) = vjp_pa(g)
+    return gpa, None, guv
+
+
+_sample_atlas_u8.defvjp(_sample_atlas_u8_fwd, _sample_atlas_u8_bwd)
+
+
+@jax.custom_vjp
+def _sample_atlas_u8_lod(pa, k, uv, lod):
+    return _sample_atlas_raw(pa, k, uv, lod, True)
+
+
+def _sample_atlas_u8_lod_fwd(pa, k, uv, lod):
+    return _sample_atlas_u8_lod(pa, k, uv, lod), (pa, k, uv, lod)
+
+
+def _sample_atlas_u8_lod_bwd(res, g):
+    pa, k, uv, lod = res
+    _, vjp_uv = jax.vjp(
+        lambda uv_, lod_: _sample_atlas_raw(pa, k, uv_, lod_, True), uv, lod)
+    guv, glod = vjp_uv(g)
+    _, vjp_pa = jax.vjp(lambda pa_: _sample_atlas_raw(pa_, k, uv, lod, False), pa)
+    (gpa,) = vjp_pa(g)
+    return gpa, None, guv, glod
+
+
+_sample_atlas_u8_lod.defvjp(_sample_atlas_u8_lod_fwd, _sample_atlas_u8_lod_bwd)
 
 
 @dataclasses.dataclass

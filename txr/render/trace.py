@@ -57,7 +57,14 @@ class RenderConfig:
     height: int = 720
     iterations: int = 5               # reflect_depth, SceneManager.cpp:233
     supersample: int = 1              # SSAA factor (replaces SMAA)
-    extra_refraction_steps: int = 8   # budget for the i-- refraction steps
+    # Budget for the i-- refraction steps (rt.frag:870-872): the static
+    # loop length is iterations + this.  6 = auto_refraction_steps' cap
+    # (three glass entry/exit pairs) — the measured live-ray distribution
+    # on the demo scene dies out well before that.  Rays that refract more
+    # times than the budget keep their accumulated colour and drop the
+    # tail contribution, exactly like a ray still alive when the
+    # reference's loop ends (rt.frag:821); see test_refraction_budget.
+    extra_refraction_steps: int = 6
     shadow_enabled: bool = True       # SHADOW_ENABLED, rt.frag:15
     do_fresnel: bool = True           # DO_FRESNEL, rt.frag:20
     total_internal_reflection: bool = True  # rt.frag:19
@@ -100,11 +107,13 @@ class RenderConfig:
     # Gradients always go through the jnp body (custom VJP recompute).
     fused: str = "auto"
     # u8-packed unified texture fetch in the jnp body (hit_info): 4× smaller
-    # table → small-table gather rate, plus block compaction.  uv/lod/scene
-    # gradients are unchanged (the lerp differentiates through the unpacked
-    # taps); ONLY texture-content gradients (texture recovery) require
-    # False.  The f64 oracle stays within the golden tolerance either way
-    # (u8 and f32 atlases store identical quantized values).
+    # table → small-table gather rate, plus block compaction.  Fully
+    # differentiable: sample_atlas routes the u8 fetch through a custom VJP
+    # (u8 primal, f32-atlas linearisation for the content cotangent), so
+    # uv/lod/scene AND texture-content gradients all flow (ADVICE r4).
+    # The f64 oracle stays within the golden tolerance either way (u8 and
+    # f32 atlases store identical quantized values).  False = plain f32
+    # gathers end-to-end (the diffing reference path).
     fast_texels: bool = True
     # Static switch for the refractive-glossy extra pass
     # (getReflectedColor, rt.frag:787-802).  It costs a full nearest-hit +
@@ -198,9 +207,9 @@ def hit_info(scene, textures, ro, rd, t, ty, idx, pix_angle=None, gate=True,
 
     ``fast`` (cfg.fast_texels): the unified fetch gathers the u8-packed
     atlas (4× smaller table, small-table gather rate) and block-compacts to
-    the lanes that request texels.  uv/lod/scene gradients flow unchanged
-    (the lerp differentiates through the unpacked taps); only
-    texture-CONTENT gradients need fast=False (the u8 table is integer).
+    the lanes that request texels.  All gradients (uv/lod/scene and
+    texture content) flow — sample_atlas wraps the u8 fetch in a custom
+    VJP that linearises content through the f32 atlas.
     """
     R = t.shape
     dt = ro.dtype
