@@ -8,18 +8,20 @@ The reference publishes no numbers (BASELINE.md); the derived parity point
 is 1280x720 @ 60 FPS ≈ 5.5e7 forward primary rays/s — what "real-time"
 meant for the reference demo.  vs_baseline = forward rays/s / 5.5e7.
 
-Phase order is budget-driven (r4 post-mortem: the AA-quality extras ran
-BEFORE the fwd+bwd chain and their 6×6-SSAA truth compile blew the driver
-timeout, so the round's headline number never printed).  Now the phases
-run cheapest-risk-first and the JSON line prints the moment the fwd+bwd
-measurement lands:
+Phase order is budget-driven (r4 post-mortem: the fwd+bwd compile blew
+the driver timeout and the round had NO parsed result at all).  Phases
+now run cheapest-first, every chain is cut to the minimum compile size
+(forward K=2, fwd+bwd K=1, and the loss target is the zero image — the
+gradient program is structurally identical and the old target render
+cost a whole extra 1080p compile), and a complete, honestly-labelled
+JSON line is printed after EVERY phase — so a timeout mid-compile still
+leaves the best-so-far measurement parseable:
 
   1. correctness gate (small on-device render vs the f64 oracle)
-  2. forward chain
-  3. analytic FLOP model (one quarter-res compile, seconds)
-  4. forward+backward chain        ← the BASELINE north-star
-  5. print the ONE JSON line
-  6. nothing else.  AA-quality evidence lives in
+  2. forward chain            → print JSON (forward metric)
+  3. forward+backward chain   → print JSON (the BASELINE north-star)
+  4. analytic FLOP model, only if wall budget remains (informational)
+  5. nothing else.  AA-quality evidence lives in
      scripts/aa_1080p_evidence.py → AA_r05.json (run separately).
 
 Methodology — this runtime is a tunneled TPU, and both sides of the tunnel
@@ -68,30 +70,97 @@ def _log(msg):
     sys.stderr.flush()
 
 
+def _gate_scene_key(scene, cfg):
+    """sha256 over every scene leaf + the gate config — invalidates the
+    cached oracle image the moment the demo scene or gate shape changes."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    h.update(repr((cfg.width, cfg.height, cfg.iterations,
+                   cfg.extra_refraction_steps, cfg.supersample)).encode())
+    for path, leaf in jax.tree_util.tree_leaves_with_path(scene):
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
+def _gate_tex_key(textures):
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    for path, leaf in jax.tree_util.tree_leaves_with_path(textures):
+        ks = jax.tree_util.keystr(path)
+        # hash only the host-built raw images: the derived sampling atlases
+        # (with_mips) are built on-device, whose f32 box filters may differ
+        # from a CPU build by ulps — the raw fields determine them anyway
+        if "atlas" in ks or "packed" in ks:
+            continue
+        h.update(ks.encode())
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
+def _gate_oracle(scene, textures, cfg):
+    """The f64 oracle image for the gate — cached on disk keyed by the
+    scene/config hash.  The pure-python oracle needs ~8 min for the 96×54
+    gate frame, which was most of the bench's driver budget; the cache cuts
+    a repeat run to seconds while any change to the demo scene or config
+    transparently recomputes (scripts/gen_gate_oracle.py pre-bakes it)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "txr", "ref", "gate_oracle.npz")
+    key = _gate_scene_key(scene, cfg) + _gate_tex_key(textures)
+    if os.path.exists(path):
+        try:
+            z = np.load(path, allow_pickle=False)
+            if str(z["key"]) == key:
+                _log("gate oracle: cache hit")
+                return np.asarray(z["img"], np.float64)
+            _log("gate oracle: cache STALE (scene/config changed) — recomputing")
+        except Exception as e:
+            _log(f"gate oracle: cache unreadable ({e}) — recomputing")
+    from txr.ref.cpu_reference import render_oracle
+
+    img = np.asarray(render_oracle(scene, textures, cfg), np.float64)
+    try:
+        np.savez_compressed(path, key=key, img=img)
+    except OSError:
+        pass
+    return img
+
+
 def _correctness_gate(scene_fn, textures, cfg_cls, on_tpu, extra_steps=8):
     """Render the demo scene small ON DEVICE and compare to the f64 oracle.
     Runs the same refraction-step budget as the perf config so the gated
-    program IS the measured program.  Dual criterion (test_golden):
-    ≤1.5% of pixels over 2e-3, AND no pixel off by more than 0.5 absolute
-    (a branch-flip bound — edge pixels may disagree on which side of a
-    silhouette they fall, but never on unrelated colours)."""
+    program IS the measured program.  Dual criterion (test_golden
+    assert_images_close): ≤1.5% of pixels over 2e-3, AND no INTERIOR pixel
+    (low-contrast oracle neighbourhood — no silhouette branch flip can
+    explain it) off by more than 0.5 absolute.  Edge pixels may disagree on
+    which side of a silhouette they fall (f32 sweep vs f64 oracle), but a
+    flat-region outlier means a real bug."""
     from txr.render.render import render_jit
-    from txr.ref.cpu_reference import render_oracle
+    from txr.utils.image import oracle_edge_mask
 
     scene, _ = scene_fn(GATE_W, GATE_H)
     cfg = cfg_cls(width=GATE_W, height=GATE_H, iterations=5,
                   extra_refraction_steps=extra_steps)
     got = np.asarray(render_jit(scene, textures, cfg), np.float64)
-    want = np.asarray(render_oracle(scene, textures, cfg), np.float64)
+    want = _gate_oracle(scene, textures, cfg)
     diff = np.abs(got - want).max(axis=-1)
     frac_bad = float((diff > GATE_TOL).mean())
-    worst = float(diff.max())
-    ok = frac_bad <= GATE_EDGE_FRAC and worst <= GATE_EDGE_ABS
+    interior = ~oracle_edge_mask(want)
+    worst_int = float(diff[interior].max()) if interior.any() else 0.0
+    ok = frac_bad <= GATE_EDGE_FRAC and worst_int <= GATE_EDGE_ABS
     _log(
         f"correctness gate ({'TPU' if on_tpu else 'CPU'} {GATE_W}x{GATE_H}): "
         f"{frac_bad:.3%} pixels over tol (limit {GATE_EDGE_FRAC:.1%}), "
-        f"worst |err| {worst:.3f} (limit {GATE_EDGE_ABS}) -> "
-        f"{'PASS' if ok else 'FAIL'}"
+        f"worst interior |err| {worst_int:.3f} (limit {GATE_EDGE_ABS}, "
+        f"worst overall {diff.max():.3f}) -> {'PASS' if ok else 'FAIL'}"
     )
     return ok, frac_bad
 
@@ -132,7 +201,7 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     W, H = (1920, 1080) if on_tpu else (192, 108)
-    K_FWD, K_FB = (4, 2) if on_tpu else (2, 1)
+    K_FWD, K_FB = (2, 1) if on_tpu else (2, 1)
 
     scene, _ = build_scene(W, H)
     # Build the sampling atlases ONCE outside the frame jit — the
@@ -192,14 +261,82 @@ def main():
         f"({1/t_fwd:.1f} FPS at {W}x{H}, {K_FWD}-frame chain)"
     )
 
-    # Analytic FLOP model (txr/utils/flops.py).  XLA cost analysis cannot
-    # see inside pallas_call (r2 reported a meaningless 356 flops/ray);
-    # instead price the per-primitive intersector math from hand counts,
-    # weighted by the live-ray fraction per bounce step measured on an
-    # instrumented quarter-res render (same scene/config, no gating — the
-    # live distribution is resolution-invariant to well under the model's
-    # own ~2x accuracy).  One small compile; skipped on any error.
-    flops_per_ray = achieved_tflops = mfu = None
+    common = {
+        "unit": "rays/s",
+        "vs_baseline": round(fwd_rays / BASELINE_FWD_RAYS_PER_S, 4),
+        "forward_rays_per_s": round(fwd_rays),
+        "forward_ms_per_frame": round(t_fwd * 1e3, 2),
+        "forward_fps": round(1.0 / t_fwd, 2),
+        "correctness_gate": f"PASS ({gate_frac:.3%} edge pixels)",
+        "resolution": f"{W}x{H}",
+        "device": str(dev),
+    }
+
+    # Best-so-far line NOW: if the fwd+bwd compile below outlives the
+    # driver budget, this (honestly labelled forward) measurement is still
+    # the round's parsed artifact instead of r4's nothing.
+    print(json.dumps({
+        "metric": "1080p forward rays/s/chip (full demo scene; "
+                  "fwd+bwd phase still running)",
+        "value": round(fwd_rays),
+        "elapsed_s": round(time.monotonic() - _T0, 1),
+        **common,
+    }))
+    sys.stdout.flush()
+
+    # -- forward + backward (the north-star) --------------------------------
+    # Loss target = the zero image: the gradient program is structurally
+    # identical to any fixed-target L2 loss, and skipping the target render
+    # saves a whole extra 1080p forward compile (r4's timeout).
+    def loss(s, textures):
+        return jnp.mean(render(s, textures, cfg) ** 2)
+
+    grad_fn = jax.grad(loss, allow_int=True)
+
+    def fb_chain():
+        @jax.jit
+        def chain(scene, textures):
+            acc = jnp.float32(0.0)
+            for _ in range(K_FB):
+                s = dataclasses.replace(
+                    scene, camera=dataclasses.replace(
+                        scene.camera, pos=scene.camera.pos + acc * 1e-30
+                    )
+                )
+                g = grad_fn(s, textures)
+                acc = acc + jnp.sum(g.camera.pos) + jnp.sum(g.spheres.pos)
+            return acc
+        return lambda: chain(scene, textures)
+
+    try:
+        t_fb = _timed_chain(fb_chain) / K_FB
+        fb_rays = n_rays / t_fb
+        _log(
+            f"forward+backward: {t_fb*1e3:.1f} ms = {fb_rays:,.0f} rays/s "
+            f"({K_FB}-frame chain)"
+        )
+        fb_fields = {"value": round(fb_rays), "fwd_bwd_ms": round(t_fb * 1e3, 2)}
+    except Exception as e:  # report forward even if backward faults
+        _log(f"backward failed: {type(e).__name__}: {e}")
+        fb_fields = {"value": round(fwd_rays), "fwd_bwd_ms": None,
+                     "note": "backward faulted; value = forward rays/s"}
+
+    result = {
+        "metric": "1080p forward+backward rays/s/chip (full demo scene)",
+        "elapsed_s": round(time.monotonic() - _T0, 1),
+        **common,
+        **fb_fields,
+    }
+    print(json.dumps(result))
+    sys.stdout.flush()
+
+    # Analytic FLOP model (txr/utils/flops.py) — informational only, so it
+    # runs LAST and only with wall budget left.  XLA cost analysis cannot
+    # see inside pallas_call; instead price the per-primitive intersector
+    # math from hand counts, weighted by the live-ray fraction per bounce
+    # step measured on an instrumented quarter-res render.
+    if time.monotonic() - _T0 > 1500:
+        return
     try:
         from txr.utils.flops import frame_flops_per_ray
         from txr.render.trace import initial_state, make_step
@@ -229,65 +366,16 @@ def main():
             f"{achieved_tflops:.2f} TFLOP/s achieved "
             f"({mfu:.1%} of v5e bf16 peak)"
         )
+        result.update(
+            flops_per_ray=round(flops_per_ray),
+            achieved_tflops=round(achieved_tflops, 3),
+            mfu_vs_v5e_bf16_peak=round(mfu, 4),
+            elapsed_s=round(time.monotonic() - _T0, 1),
+        )
+        print(json.dumps(result))
+        sys.stdout.flush()
     except Exception as e:  # the flop model is best-effort
         _log(f"analytic cost unavailable: {e}")
-
-    # -- forward + backward (the north-star; nothing expensive before it) ----
-    target = jax.lax.stop_gradient(
-        jax.jit(lambda s, t: render(s, t, cfg))(scene, textures)
-    )
-
-    def loss(s, textures, target):
-        return jnp.mean((render(s, textures, cfg) - target) ** 2)
-
-    grad_fn = jax.grad(loss, allow_int=True)
-
-    def fb_chain():
-        @jax.jit
-        def chain(scene, textures, target):
-            acc = jnp.float32(0.0)
-            for _ in range(K_FB):
-                s = dataclasses.replace(
-                    scene, camera=dataclasses.replace(
-                        scene.camera, pos=scene.camera.pos + acc * 1e-30
-                    )
-                )
-                g = grad_fn(s, textures, target)
-                acc = acc + jnp.sum(g.camera.pos) + jnp.sum(g.spheres.pos)
-            return acc
-        return lambda: chain(scene, textures, target)
-
-    try:
-        t_fb = _timed_chain(fb_chain) / K_FB
-        fb_rays = n_rays / t_fb
-        _log(
-            f"forward+backward: {t_fb*1e3:.1f} ms = {fb_rays:,.0f} rays/s "
-            f"({K_FB}-frame chain)"
-        )
-        fb_fields = {"value": round(fb_rays), "fwd_bwd_ms": round(t_fb * 1e3, 2)}
-    except Exception as e:  # report forward even if backward faults
-        _log(f"backward failed: {type(e).__name__}: {e}")
-        fb_fields = {"value": round(fwd_rays), "fwd_bwd_ms": None,
-                     "note": "backward faulted; value = forward rays/s"}
-
-    result = {
-        "metric": "1080p forward+backward rays/s/chip (full demo scene)",
-        "unit": "rays/s",
-        "vs_baseline": round(fwd_rays / BASELINE_FWD_RAYS_PER_S, 4),
-        "forward_rays_per_s": round(fwd_rays),
-        "forward_ms_per_frame": round(t_fwd * 1e3, 2),
-        "forward_fps": round(1.0 / t_fwd, 2),
-        "correctness_gate": f"PASS ({gate_frac:.3%} edge pixels)",
-        "flops_per_ray": None if flops_per_ray is None else round(flops_per_ray),
-        "achieved_tflops": None if achieved_tflops is None else round(achieved_tflops, 3),
-        "mfu_vs_v5e_bf16_peak": None if mfu is None else round(mfu, 4),
-        "resolution": f"{W}x{H}",
-        "device": str(dev),
-        "elapsed_s": round(time.monotonic() - _T0, 1),
-    }
-    result.update(fb_fields)
-    print(json.dumps(result))
-    sys.stdout.flush()
 
 
 if __name__ == "__main__":

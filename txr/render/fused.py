@@ -119,19 +119,18 @@ def _apply_texture(pr, texc):
     return mcol, alpha
 
 
-def _shade_from_probes(scene, textures, cfg, pr, mcol):
-    """calcShade finished from the kernel's per-light probes: shadow =
-    min(solid + ring alphas, 1); Phong = ambient + kd·diffuse + ks·spec
-    (rt.frag:660-709)."""
+def shadow_from_probes(scene, textures, cfg, solid, ring_hit, ring_uv):
+    """Combined per-light shadow factor [R, L] from detached any-hit probe
+    data (inShadow, rt.frag:630-658): solid occlusion + ring handling
+    (opaque ring hit → full shadow; textured ring → texture-alpha
+    attenuation at the saved hit UV, differentiable in texture content).
+    Shared by the fused forward (_shade_from_probes) and the saved-probe
+    backward consume (trace.step_jnp saved mode)."""
     c = scene.counts
-    L = c["lights_point"] + c["lights_direct"]
-    ambient = scene.ambient_color * mcol
-    if L == 0:
-        return ambient
-    sh = pr["light_solid"]                                   # [R, L]
-    if cfg.shadow_enabled and c["rings"] and pr["ring_hit"] is not None:
-        rh = pr["ring_hit"]                                  # [R, L, nr]
-        ruv = pr["ring_uv"]                                  # [R, L, nr, 2]
+    sh = solid                                               # [R, L]
+    if c["rings"] and ring_hit is not None:
+        rh = ring_hit                                        # [R, L, nr]
+        ruv = ring_uv                                        # [R, L, nr, 2]
         from txr.utils.ablate import ablated
 
         textured = scene.rings.texture > 0
@@ -171,10 +170,24 @@ def _shade_from_probes(scene, textures, cfg, pr, mcol):
             else:
                 asum = alpha_fetch()
             sh = sh + asum
-    sh = jnp.minimum(sh, 1.0)
+    return jnp.minimum(sh, 1.0)
+
+
+def _shade_from_probes(scene, textures, cfg, pr, mcol):
+    """calcShade finished from the kernel's per-light probes: shadow =
+    min(solid + ring alphas, 1); Phong = ambient + kd·diffuse + ks·spec
+    (rt.frag:660-709)."""
+    c = scene.counts
+    L = c["lights_point"] + c["lights_direct"]
+    ambient = scene.ambient_color * mcol
+    if L == 0:
+        return ambient
     if cfg.shadow_enabled:
+        sh = shadow_from_probes(scene, textures, cfg, pr["light_solid"],
+                                pr["ring_hit"], pr["ring_uv"])
         factor = jnp.maximum((1.0 - sh)[..., None], scene.shadow_ambient)
     else:
+        sh = pr["light_solid"]
         factor = jnp.ones(sh.shape + (3,), sh.dtype)
     lcolors = []
     if c["lights_point"]:
@@ -200,6 +213,70 @@ def _types_of(scene, pr):
     return hit, ty, idx
 
 
+# probe fields that are integer/bool; everything else is f32 already.
+# slot/kind/req_k are small counts and the flags are 0/1 — all exact in f32.
+_PR_INT = ("slot", "kind", "req_k")
+_PR_BOOL = ("outside", "ring_hit")
+
+
+def pack_pr(pr, R):
+    """Probe dict → ONE [C, R] f32 array + a static layout descriptor.
+
+    The packed layout matters as much as the packing: the step's custom VJP
+    saves the probe across the remat/scan boundary, and XLA lane-pads any
+    saved [R, small] array to 128 lanes — the unpacked dict cost up to 64×
+    its bytes in HBM padding (512 MB for one step's [R, L, nr, 2] ring_uv
+    at 1080p, the r5 backward-OOM smoking gun).  [C, R] keeps R minor —
+    natively tiled, zero padding — and matches the probe kernel's own
+    [NF, R] output layout, so the pack is a cheap re-slice.
+
+    Returns (packed, meta) with meta a hashable tuple of
+    (name, feature-shape suffix) in row order — a static argument of the
+    custom VJP."""
+    rows = []
+    meta = []
+    for k in sorted(pr.keys()):
+        v = pr[k]
+        if v is None:
+            continue
+        suffix = tuple(v.shape[1:])
+        v = v.astype(jnp.float32).reshape(R, -1).T      # [prod(suffix), R]
+        rows.append(v)
+        meta.append((k, suffix))
+    return jnp.concatenate(rows, axis=0), tuple(meta)
+
+
+def unpack_pr(packed, meta):
+    """Inverse of pack_pr — exact: f32 round-trips, and the int/bool
+    fields' values are small counts / 0-1 flags."""
+    R = packed.shape[1]
+    pr = {}
+    r = 0
+    for k, suffix in meta:
+        n = 1
+        for s in suffix:
+            n *= s
+        v = packed[r:r + n].T.reshape((R,) + suffix)
+        r += n
+        if k in _PR_INT:
+            v = v.astype(jnp.int32)
+        elif k in _PR_BOOL:
+            v = v > 0.5
+        pr[k] = v
+    for k in ("ring_hit", "ring_uv"):
+        pr.setdefault(k, None)
+    return pr
+
+
+def saves_of_pr(pr):
+    """The piecewise-constant subset of a probe that the backward consume
+    (step_jnp saved mode) reads: the sweep winner and the shadow any-hit
+    results.  Everything else in the step is recomputed differentiably."""
+    return dict(slot=pr["slot"], t=pr["t"],
+                light_solid=pr["light_solid"],
+                ring_hit=pr["ring_hit"], ring_uv=pr["ring_uv"])
+
+
 def fused_reflected_color(scene, textures, cfg, ro, rd):
     """getReflectedColor (rt.frag:787-802) on the probe kernel: one extra
     fused pass whose shading probes use the UNFLIPPED hit normal (the
@@ -220,15 +297,20 @@ def fused_reflected_color(scene, textures, cfg, ro, rd):
     return color
 
 
-def fused_step_fwd(scene, textures, cfg, st):
-    """One bounce step, fused-forward form — the mirror of step_jnp."""
+def fused_step_fwd(scene, textures, cfg, st, pr=None):
+    """One bounce step, fused-forward form — the mirror of step_jnp.
+
+    ``pr``: a precomputed probe (trace.raw_step runs it separately so the
+    encoded copy can be checkpoint-named for the backward consume); None
+    runs it here."""
     ro, rd = st["ro"], st["rd"]
     alive = st["alive"]
     color, mask = st["color"], st["mask"]
     absorb_dist = st["absorb_dist"]
     bounces = st["bounces"]
 
-    pr = _probe(scene, textures, cfg, ro, rd, shade_flipped=True)
+    if pr is None:
+        pr = _probe(scene, textures, cfg, ro, rd, shade_flipped=True)
     t = pr["t"]
     hit, ty, idx = _types_of(scene, pr)
     act = alive & hit

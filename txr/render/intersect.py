@@ -195,6 +195,28 @@ def t_of_winner(scene: Scene, ro, rd, ty, idx, one_side_planes=True, t0=None):
     return t
 
 
+def nearest_hit_saved(scene: Scene, ro, rd, slot, t0, one_side_planes=True):
+    """calcInter from a SAVED sweep winner: decode (ty, idx) from the
+    forward probe's slot and recompute the ONE winning intersector per ray
+    (t_of_winner) — the O(R) differentiable path the backward pass uses
+    instead of re-running the O(R·P) sweep (trace._fused_step_bwd).
+
+    The winner choice is piecewise constant in the scene parameters, so a
+    saved (slot, t0) from the forward probe yields exactly the gradients of
+    nearest_hit's custom VJP; the recomputed t may differ from t0 by ulps,
+    which only moves the linearisation point."""
+    type_tab, idx_tab = _type_tables(scene)
+    slot = slot.astype(jnp.int32)
+    hit = jnp.isfinite(t0)
+    ty = jnp.where(hit, small_take(type_tab, slot), -1)
+    idx = small_take(idx_tab, slot)
+    t = t_of_winner(scene, ro, rd, ty, idx, one_side_planes, t0=t0)
+    # grazing lanes where the recompute lands on the miss side keep the
+    # saved t so the consume's branch masks agree with the forward's
+    t = jnp.where(hit & ~jnp.isfinite(t), t0, t)
+    return jnp.where(hit, t, jnp.inf), ty, idx
+
+
 def resolve_backend(backend, ro):
     """"auto" → pallas off-CPU.  Inside shard_map (rays carry a varying
     mesh type) the pallas kernels still run on real devices — their

@@ -89,31 +89,42 @@ def calc_shade(
     shadow_enabled=True,
     one_side_planes=True,
     backend="auto",
+    shadow_saved=None,
 ):
     """calcShade (rt.frag:681-709): ambient + per-light Phong with shadows
     and distance attenuation.
 
     pt, rd, normal: [R,3]; material fields: [R] / [R,3].  Returns RGB [R,3].
+
+    ``shadow_saved`` ([R, L_total] with lights ordered point-then-direct,
+    or None): precomputed per-light shadow factors — the backward consume
+    (trace.step_jnp saved mode) passes the forward probe's any-hit results
+    through fused.shadow_from_probes instead of re-running the occlusion
+    sweep; occlusion is piecewise constant, so the gradients are identical.
     """
     R = pt.shape[:-1]
     diffuse = jnp.zeros(R + (3,), pt.dtype)
     specular = jnp.zeros(R + (3,), pt.dtype)
 
-    def accumulate(light_dir, light_color, intensity, dist, dist_div, diffuse, specular):
+    def accumulate(light_dir, light_color, intensity, dist, dist_div,
+                   diffuse, specular, sh_saved=None):
         """calcShade2 (rt.frag:660-679).  light axis = second-to-last."""
         ld = safe_normalize(light_dir)
         dp = jnp.clip(jnp.sum(normal[..., None, :] * ld, axis=-1), 0.0, 1.0)
         lc = light_color * dp[..., None]
         if shadow_enabled and do_shadow:
-            # one any-hit sweep for ALL lights: flatten the light axis into
-            # the ray axis so L lights cost one kernel launch and one
-            # ring-alpha fetch pass instead of L of each
-            L = ld.shape[-2]
-            ro_f = jnp.broadcast_to(pt[..., None, :], ld.shape).reshape(-1, 3)
-            sh = shadow_factor(
-                scene, ro_f, ld.reshape(-1, 3), dist.reshape(-1), textures,
-                one_side_planes, backend,
-            ).reshape(dist.shape)  # [R, L]
+            if sh_saved is not None:
+                sh = sh_saved
+            else:
+                # one any-hit sweep for ALL lights: flatten the light axis
+                # into the ray axis so L lights cost one kernel launch and
+                # one ring-alpha fetch pass instead of L of each
+                ro_f = jnp.broadcast_to(
+                    pt[..., None, :], ld.shape).reshape(-1, 3)
+                sh = shadow_factor(
+                    scene, ro_f, ld.reshape(-1, 3), dist.reshape(-1),
+                    textures, one_side_planes, backend,
+                ).reshape(dist.shape)  # [R, L]
             lc = lc * jnp.maximum((1.0 - sh)[..., None], scene.shadow_ambient)
         w = (intensity / dist_div)[..., None]
         diffuse = diffuse + jnp.sum(
@@ -133,7 +144,8 @@ def calc_shade(
         dist = jnp.sqrt(jnp.sum(light_dir * light_dir, axis=-1) + 1e-30)  # [R,L]
         dist_div = 1.0 + lp.linear_k * dist + lp.quadratic_k * dist * dist
         diffuse, specular = accumulate(
-            light_dir, lp.color, lp.intensity, dist, dist_div, diffuse, specular
+            light_dir, lp.color, lp.intensity, dist, dist_div, diffuse, specular,
+            None if shadow_saved is None else shadow_saved[..., :nlp],
         )
 
     nld = scene.counts["lights_direct"]
@@ -143,7 +155,8 @@ def calc_shade(
         dist = jnp.full(pt.shape[:-1] + (nld,), MAX_DIST, pt.dtype)
         dist_div = jnp.ones_like(dist)
         diffuse, specular = accumulate(
-            light_dir, ld_.color, ld_.intensity, dist, dist_div, diffuse, specular
+            light_dir, ld_.color, ld_.intensity, dist, dist_div, diffuse, specular,
+            None if shadow_saved is None else shadow_saved[..., nlp:nlp + nld],
         )
 
     ambient = scene.ambient_color * mat_color

@@ -593,9 +593,16 @@ def unpack_state(arr):
     )
 
 
-def step_jnp(scene, textures, cfg: RenderConfig, st):
+def step_jnp(scene, textures, cfg: RenderConfig, st, saved=None):
     """One bounce-loop step, jnp form: the differentiable reference body
-    (also the CPU path and the recompute target of the fused step's VJP)."""
+    (also the CPU path and the recompute target of the fused step's VJP).
+
+    ``saved`` (fused.saves_of_prf or None): the forward probe's detached
+    sweep winner + shadow any-hit results.  When present, the body skips
+    every O(R·P) sweep: t comes from the O(R) winner recompute
+    (nearest_hit_saved) and the shadow factor from the saved probes — the
+    backward-pass form (_fused_step_bwd).  Gradients are identical because
+    the skipped quantities are piecewise constant in the parameters."""
     has_lights = scene.counts["lights_point"] > 0
 
     def body(st):
@@ -605,7 +612,14 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
         absorb_dist = st["absorb_dist"]
         bounces = st["bounces"]
 
-        t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside, cfg.backend)
+        if saved is None:
+            t, ty, idx = nearest_hit(scene, ro, rd, cfg.plane_oneside,
+                                     cfg.backend)
+        else:
+            from txr.render.intersect import nearest_hit_saved
+
+            t, ty, idx = nearest_hit_saved(scene, ro, rd, saved["slot"],
+                                           saved["t"], cfg.plane_oneside)
         hit = jnp.isfinite(t)
         act = alive & hit
 
@@ -719,10 +733,18 @@ def step_jnp(scene, textures, cfg: RenderConfig, st):
         diff_act = act & ~is_refractive & (refl <= 0.0)
 
         needs_shade = refl_act | diff_act
+        shadow_saved = None
+        if saved is not None and cfg.shadow_enabled:
+            from txr.render.fused import shadow_from_probes
+
+            shadow_saved = shadow_from_probes(
+                scene, textures, cfg, saved["light_solid"],
+                saved["ring_hit"], saved["ring_uv"])
         shade = calc_shade(
             scene, textures, shade_origin_out, rd,
             hi["color"], hi["diffuse"], hi["specular"], hi["kd"], hi["ks"],
             n, True, cfg.shadow_enabled, cfg.plane_oneside, cfg.backend,
+            shadow_saved=shadow_saved,
         )
         shade = jnp.where(needs_shade[..., None], shade, 0.0)
 
@@ -781,25 +803,40 @@ def _use_fused(scene, cfg: RenderConfig, ro) -> bool:
     return resolve_backend(cfg.backend, ro) == "pallas"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_step(cfg, scene, textures, st):
-    from txr.render.fused import fused_step_fwd
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_step(cfg, meta, scene, textures, st, packed):
+    from txr.render.fused import fused_step_fwd, unpack_pr
 
-    return fused_step_fwd(scene, textures, cfg, st)
-
-
-def _fused_step_fwd(cfg, scene, textures, st):
-    return _fused_step(cfg, scene, textures, st), (scene, textures, st)
+    return fused_step_fwd(scene, textures, cfg, st, pr=unpack_pr(packed, meta))
 
 
-def _fused_step_bwd(cfg, res, g):
-    """Gradients via the jnp body: the fused kernel is primal-only, so the
-    backward recomputes the step with the differentiable XLA program (the
-    same remat cost the checkpointed scan already pays) and transposes it."""
-    scene, textures, st = res
-    _, vjp = jax.vjp(lambda sc, tx, s: step_jnp(sc, tx, cfg, s),
-                     scene, textures, st)
-    return vjp(g)
+def _fused_step_fwd(cfg, meta, scene, textures, st, packed):
+    return (_fused_step(cfg, meta, scene, textures, st, packed),
+            (scene, textures, st, packed))
+
+
+def _fused_step_bwd(cfg, meta, res, g):
+    """Gradients via the jnp body in SAVED mode: the fused kernel is
+    primal-only, so the backward recomputes the step with the
+    differentiable XLA program and transposes it — but the saved probe
+    (the [C, R]-packed kernel outputs, checkpoint-named "txr_step_saved"
+    by raw_step so the remat policy keeps them) lets the recompute skip
+    every O(R·P) sweep: the nearest hit becomes the O(R) winner recompute
+    and the shadow factor comes straight from the saved any-hit bits.
+    This removes what made the r4 backward ~8× the forward (it re-ran the
+    full sweeps per step)."""
+    scene, textures, st, packed = res
+    from txr.render.fused import saves_of_pr, unpack_pr
+
+    saved = saves_of_pr(unpack_pr(packed, meta))
+    _, vjp = jax.vjp(
+        lambda sc, tx, s: step_jnp(sc, tx, cfg, s, saved=saved),
+        scene, textures, st)
+    g_scene, g_tex, g_st = vjp(g)
+    # the probe is detached by construction (the kernel consumes everything
+    # under stop_gradient); its cotangent is exactly zero — and pack_pr
+    # made it one float array so a plain zeros suffices
+    return g_scene, g_tex, g_st, jnp.zeros_like(packed)
 
 
 _fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)
@@ -873,7 +910,19 @@ def make_step_packed(scene, textures, cfg: RenderConfig):
 
     def raw_step(st):
         if _use_fused(scene, cfg, st["ro"]):
-            return _fused_step(cfg, scene, textures, st)
+            from jax.ad_checkpoint import checkpoint_name
+
+            from txr.render.fused import _probe, pack_pr
+
+            # probe OUTSIDE the custom VJP so the [C, R]-packed copy can be
+            # checkpoint-named in plain primal code: the remat policy then
+            # saves it (R-minor → no lane padding) and the backward's
+            # body-recompute DCEs the whole pallas probe (_fused_step_bwd)
+            pr = _probe(scene, textures, cfg, st["ro"], st["rd"],
+                        shade_flipped=True)
+            packed, meta = pack_pr(pr, st["ro"].shape[0])
+            packed = checkpoint_name(packed, "txr_step_saved")
+            return _fused_step(cfg, meta, scene, textures, st, packed)
         return step_jnp(scene, textures, cfg, st)
 
     def raw_packed(arr):
@@ -931,7 +980,7 @@ def trace(scene, textures, cfg: RenderConfig, ro, rd):
         scan_body = jax.checkpoint(
             scan_body,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "txr_step_out"),
+                "txr_step_out", "txr_step_saved"),
         )
     arr, _ = jax.lax.scan(scan_body, arr0, None, length=cfg.max_steps)
     state = unpack_state(arr)

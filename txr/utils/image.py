@@ -5,6 +5,27 @@ from __future__ import annotations
 import numpy as np
 
 
+def oracle_edge_mask(want, contrast=0.25):
+    """[H,W] bool: pixels whose 3×3 neighbourhood in the reference image
+    spans ≥ ``contrast`` in some channel — exactly where a 1-ulp root
+    difference between backends can legitimately flip the nearest-hit
+    winner and show a neighbouring surface's colour.  The golden criterion
+    (tests/test_golden.py, bench.py gate) bounds the worst error on the
+    COMPLEMENT of this mask: a gross outlier in a flat region cannot be a
+    silhouette branch flip and means a real bug."""
+    want = np.asarray(want, np.float64)
+    p = np.pad(want, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    mx = np.full(want.shape, -np.inf)
+    mn = np.full(want.shape, np.inf)
+    H, W = want.shape[:2]
+    for dy in range(3):
+        for dx in range(3):
+            sl = p[dy:dy + H, dx:dx + W]
+            mx = np.maximum(mx, sl)
+            mn = np.minimum(mn, sl)
+    return ((mx - mn) >= contrast).any(axis=-1)
+
+
 def to_uint8(img, clip=True):
     img = np.asarray(img, np.float64)
     if clip:
