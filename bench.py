@@ -288,8 +288,14 @@ def main():
     # Loss target = the zero image: the gradient program is structurally
     # identical to any fixed-target L2 loss, and skipping the target render
     # saves a whole extra 1080p forward compile (r4's timeout).
+    # Smaller ray chunks than the forward: the backward's in-loop temps
+    # (transpose cotangents, compaction-tier cond residuals) scale with
+    # chunk width, and the 512K-chunk gradient program needs ~22 G of HBM
+    # vs the chip's 15.75 G.  The cost is a few extra per-step launches.
+    cfg_fb = dataclasses.replace(cfg, ray_chunk=(1 << 18) if on_tpu else 0)
+
     def loss(s, textures):
-        return jnp.mean(render(s, textures, cfg) ** 2)
+        return jnp.mean(render(s, textures, cfg_fb) ** 2)
 
     grad_fn = jax.grad(loss, allow_int=True)
 

@@ -70,14 +70,29 @@ def main():
                        extra_refraction_steps=6, ray_chunk=1 << 19)
 
     if os.environ.get("TXR_PROFILE_MODE") == "bwd":
-        target = jax.lax.stop_gradient(
-            jax.jit(lambda s, t: render(s, t, cfg))(scene, textures))
+        # replicate bench.py's fb_chain EXACTLY (same jit program → warm
+        # compile cache, and the chain variant is the one that fits HBM)
+        import dataclasses
 
-        def loss(s, t, tgt):
-            return jnp.mean((render(s, t, cfg) - tgt) ** 2)
+        cfg_fb = dataclasses.replace(cfg, ray_chunk=1 << 18)
 
-        gf = jax.jit(jax.grad(loss, allow_int=True))
-        f = lambda s, t: jnp.sum(gf(s, t, target).camera.pos)
+        def loss(s, textures):
+            return jnp.mean(render(s, textures, cfg_fb) ** 2)
+
+        grad_fn = jax.grad(loss, allow_int=True)
+
+        @jax.jit
+        def chain(scene, textures):
+            acc = jnp.float32(0.0)
+            for _ in range(1):
+                s = dataclasses.replace(
+                    scene, camera=dataclasses.replace(
+                        scene.camera, pos=scene.camera.pos + acc * 1e-30))
+                g = grad_fn(s, textures)
+                acc = acc + jnp.sum(g.camera.pos) + jnp.sum(g.spheres.pos)
+            return acc
+
+        f = chain
     else:
         f = jax.jit(lambda s, t: jnp.sum(render(s, t, cfg)))
     print("warmup...", file=sys.stderr)

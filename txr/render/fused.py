@@ -219,8 +219,16 @@ _PR_INT = ("slot", "kind", "req_k")
 _PR_BOOL = ("outside", "ring_hit")
 
 
-def pack_pr(pr, R):
-    """Probe dict → ONE [C, R] f32 array + a static layout descriptor.
+# the probe subset the backward consume reads (saves_of_pr); everything
+# else is consumed by the forward only, so it must NOT become a saved
+# residual — each bounce step would otherwise bank the full 38-row probe
+# (× every compaction-tier cond branch), ~6 GB of HBM at 1080p
+_PR_SAVE = ("slot", "t", "light_solid", "ring_hit", "ring_uv")
+
+
+def pack_pr(pr, R, keys):
+    """Pack the given probe fields into ONE [C, R] f32 array + a static
+    layout descriptor.
 
     The packed layout matters as much as the packing: the step's custom VJP
     saves the probe across the remat/scan boundary, and XLA lane-pads any
@@ -235,15 +243,28 @@ def pack_pr(pr, R):
     custom VJP."""
     rows = []
     meta = []
-    for k in sorted(pr.keys()):
-        v = pr[k]
+    for k in sorted(keys):
+        v = pr.get(k)
         if v is None:
             continue
         suffix = tuple(v.shape[1:])
         v = v.astype(jnp.float32).reshape(R, -1).T      # [prod(suffix), R]
         rows.append(v)
         meta.append((k, suffix))
+    if not rows:
+        return jnp.zeros((0, R), jnp.float32), ()
     return jnp.concatenate(rows, axis=0), tuple(meta)
+
+
+def meta_rows(meta):
+    """Total packed rows described by a pack_pr meta tuple."""
+    n = 0
+    for _, suffix in meta:
+        m = 1
+        for s in suffix:
+            m *= s
+        n += m
+    return n
 
 
 def unpack_pr(packed, meta):

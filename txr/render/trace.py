@@ -804,39 +804,46 @@ def _use_fused(scene, cfg: RenderConfig, ro) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_step(cfg, meta, scene, textures, st, packed):
+def _fused_step(cfg, metas, scene, textures, st, p_save, p_rest):
     from txr.render.fused import fused_step_fwd, unpack_pr
 
-    return fused_step_fwd(scene, textures, cfg, st, pr=unpack_pr(packed, meta))
+    m_save, m_rest = metas
+    # save-pack fields win the merge (both unpacks default ring_* to None)
+    pr = {**unpack_pr(p_rest, m_rest), **unpack_pr(p_save, m_save)}
+    return fused_step_fwd(scene, textures, cfg, st, pr=pr)
 
 
-def _fused_step_fwd(cfg, meta, scene, textures, st, packed):
-    return (_fused_step(cfg, meta, scene, textures, st, packed),
-            (scene, textures, st, packed))
+def _fused_step_fwd(cfg, metas, scene, textures, st, p_save, p_rest):
+    # residuals hold ONLY the save pack: the rest pack feeds the forward
+    # consume alone, so the remat recompute DCEs it together with the probe
+    return (_fused_step(cfg, metas, scene, textures, st, p_save, p_rest),
+            (scene, textures, st, p_save))
 
 
-def _fused_step_bwd(cfg, meta, res, g):
+def _fused_step_bwd(cfg, metas, res, g):
     """Gradients via the jnp body in SAVED mode: the fused kernel is
     primal-only, so the backward recomputes the step with the
     differentiable XLA program and transposes it — but the saved probe
-    (the [C, R]-packed kernel outputs, checkpoint-named "txr_step_saved"
-    by raw_step so the remat policy keeps them) lets the recompute skip
-    every O(R·P) sweep: the nearest hit becomes the O(R) winner recompute
-    and the shadow factor comes straight from the saved any-hit bits.
-    This removes what made the r4 backward ~8× the forward (it re-ran the
-    full sweeps per step)."""
-    scene, textures, st, packed = res
-    from txr.render.fused import saves_of_pr, unpack_pr
+    subset (sweep winner + shadow any-hit bits, [C, R]-packed and
+    checkpoint-named "txr_step_saved" by raw_step so the remat policy
+    keeps them) lets the recompute skip every O(R·P) sweep: the nearest
+    hit becomes the O(R) winner recompute and the shadow factor comes
+    straight from the saved bits.  This removes what made the r4 backward
+    ~8× the forward (it re-ran the full sweeps per step)."""
+    scene, textures, st, p_save = res
+    from txr.render.fused import meta_rows, saves_of_pr, unpack_pr
 
-    saved = saves_of_pr(unpack_pr(packed, meta))
+    m_save, m_rest = metas
+    saved = saves_of_pr(unpack_pr(p_save, m_save))
     _, vjp = jax.vjp(
         lambda sc, tx, s: step_jnp(sc, tx, cfg, s, saved=saved),
         scene, textures, st)
     g_scene, g_tex, g_st = vjp(g)
     # the probe is detached by construction (the kernel consumes everything
-    # under stop_gradient); its cotangent is exactly zero — and pack_pr
-    # made it one float array so a plain zeros suffices
-    return g_scene, g_tex, g_st, jnp.zeros_like(packed)
+    # under stop_gradient); its cotangent is exactly zero
+    R = p_save.shape[1]
+    return (g_scene, g_tex, g_st, jnp.zeros_like(p_save),
+            jnp.zeros((meta_rows(m_rest), R), p_save.dtype))
 
 
 _fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)
@@ -912,17 +919,22 @@ def make_step_packed(scene, textures, cfg: RenderConfig):
         if _use_fused(scene, cfg, st["ro"]):
             from jax.ad_checkpoint import checkpoint_name
 
-            from txr.render.fused import _probe, pack_pr
+            from txr.render.fused import _PR_SAVE, _probe, pack_pr
 
-            # probe OUTSIDE the custom VJP so the [C, R]-packed copy can be
-            # checkpoint-named in plain primal code: the remat policy then
-            # saves it (R-minor → no lane padding) and the backward's
-            # body-recompute DCEs the whole pallas probe (_fused_step_bwd)
+            # probe OUTSIDE the custom VJP so the [C, R]-packed backward
+            # subset can be checkpoint-named in plain primal code: the
+            # remat policy then saves it (R-minor → no lane padding) and
+            # the backward's body-recompute DCEs the whole pallas probe
+            # plus the forward-only rest pack (_fused_step_bwd)
             pr = _probe(scene, textures, cfg, st["ro"], st["rd"],
                         shade_flipped=True)
-            packed, meta = pack_pr(pr, st["ro"].shape[0])
-            packed = checkpoint_name(packed, "txr_step_saved")
-            return _fused_step(cfg, meta, scene, textures, st, packed)
+            R = st["ro"].shape[0]
+            p_save, m_save = pack_pr(pr, R, _PR_SAVE)
+            p_rest, m_rest = pack_pr(
+                pr, R, [k for k in pr if k not in _PR_SAVE])
+            p_save = checkpoint_name(p_save, "txr_step_saved")
+            return _fused_step(cfg, (m_save, m_rest), scene, textures, st,
+                               p_save, p_rest)
         return step_jnp(scene, textures, cfg, st)
 
     def raw_packed(arr):
