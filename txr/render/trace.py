@@ -115,6 +115,12 @@ class RenderConfig:
     # f32 atlases store identical quantized values).  False = plain f32
     # gathers end-to-end (the diffing reference path).
     fast_texels: bool = True
+    # Backward-pass route for the fused path: "loop" = the hand-rolled
+    # loop VJP (_traced_loop — explicit per-step saves, hand-gated and
+    # tier-compacted reverse scan; the fast path), "scan" = the generic
+    # jax.checkpoint + scan-transpose route (the diffing reference).  The
+    # jnp/CPU body always uses the generic route.
+    bwd: str = "loop"
     # Static switch for the refractive-glossy extra pass
     # (getReflectedColor, rt.frag:787-802).  It costs a full nearest-hit +
     # shade per bounce, so scenes with no refractive+reflective material
@@ -814,10 +820,39 @@ def _fused_step(cfg, metas, scene, textures, st, p_save, p_rest):
 
 
 def _fused_step_fwd(cfg, metas, scene, textures, st, p_save, p_rest):
+    # symbolic_zeros=True: every pytree LEAF arrives as a CustomVJPPrimal
+    # (.value, .perturbed).  The perturbed bits are trace-time constants, so
+    # which cotangents the backward must produce is STATIC — encoded into
+    # the residual pytree structure (empty tuples carry no arrays).  The r5
+    # profile showed the unconditional 3-arg vjp spending ~130 ms/frame on
+    # atlas-sized texture cotangents that jax.grad(loss)(scene) then threw
+    # away: scatter-adds into the 25 MB f32 atlas and its accumulation
+    # across 11 steps × 8 chunks of the scan transpose.
+    val = lambda t: jax.tree.map(lambda l: l.value, t)
+    pert = lambda t: any(l.perturbed for l in jax.tree.leaves(t))
+    flags = (((),) if pert(scene) else (), ((),) if pert(textures) else ())
+    scene_v, tex_v, st_v = val(scene), val(textures), val(st)
+    p_save_v = val(p_save)
     # residuals hold ONLY the save pack: the rest pack feeds the forward
     # consume alone, so the remat recompute DCEs it together with the probe
-    return (_fused_step(cfg, metas, scene, textures, st, p_save, p_rest),
-            (scene, textures, st, p_save))
+    return (_fused_step(cfg, metas, scene_v, tex_v, st_v, p_save_v,
+                        val(p_rest)),
+            (scene_v, tex_v, st_v, p_save_v, flags))
+
+
+def _instantiate_ct(ct):
+    """Materialise a SymbolicZero output cotangent so jax.vjp accepts it:
+    float0 for int/bool primal outputs, dense zeros for the (rare) float
+    output whose cotangent is symbolically zero."""
+    from jax.custom_derivatives import SymbolicZero
+
+    if isinstance(ct, SymbolicZero):
+        import numpy as np
+
+        if ct.aval.dtype == jax.dtypes.float0:
+            return np.zeros(ct.aval.shape, jax.dtypes.float0)
+        return jnp.zeros(ct.aval.shape, ct.aval.dtype)
+    return ct
 
 
 def _fused_step_bwd(cfg, metas, res, g):
@@ -829,24 +864,53 @@ def _fused_step_bwd(cfg, metas, res, g):
     keeps them) lets the recompute skip every O(R·P) sweep: the nearest
     hit becomes the O(R) winner recompute and the shadow factor comes
     straight from the saved bits.  This removes what made the r4 backward
-    ~8× the forward (it re-ran the full sweeps per step)."""
-    scene, textures, st, p_save = res
-    from txr.render.fused import meta_rows, saves_of_pr, unpack_pr
+    ~8× the forward (it re-ran the full sweeps per step).
 
+    A further structural choice from the r5 xplane profile: cotangents are
+    computed ONLY for the args the outer differentiation perturbs (static,
+    from the fwd's symbolic-zeros bits); unperturbed args and the probe
+    packs get ``None`` — a JAX-level symbolic Zero, never an array.  (The
+    gated recompute stays: a measured straight-line variant traded the
+    cond-transpose zero-broadcasts for ungated per-step glossy/fetch work
+    and came out 56 ms WORSE at 1080p.)"""
+    scene, textures, st, p_save, (f_scene, f_tex) = res
+    from txr.render.fused import saves_of_pr, unpack_pr
+
+    scene_p, tex_p = bool(f_scene), bool(f_tex)
     m_save, m_rest = metas
     saved = saves_of_pr(unpack_pr(p_save, m_save))
-    _, vjp = jax.vjp(
-        lambda sc, tx, s: step_jnp(sc, tx, cfg, s, saved=saved),
-        scene, textures, st)
-    g_scene, g_tex, g_st = vjp(g)
-    # the probe is detached by construction (the kernel consumes everything
-    # under stop_gradient); its cotangent is exactly zero
-    R = p_save.shape[1]
-    return (g_scene, g_tex, g_st, jnp.zeros_like(p_save),
-            jnp.zeros((meta_rows(m_rest), R), p_save.dtype))
+    # fast_texels=False in the recompute: the u8 and f32 atlases store
+    # bit-identical values (texture.quantize_u8), so the linearisation
+    # point and every gradient are unchanged — but the f32 path never
+    # touches the row-major-pinned u8 table, whose layout pin the backward
+    # could only satisfy with a 52 MB copy PER cond context (~163 copies,
+    # ~130 ms/frame in the r5 xplane capture: the pin cannot be hoisted
+    # across the cond/while boundaries of the tier ladder).
+    cfg_b = dataclasses.replace(cfg, fast_texels=False)
+    g = jax.tree.map(_instantiate_ct, g)
+
+    def run(sc, tx, s):
+        return step_jnp(sc, tx, cfg_b, s, saved=saved)
+
+    g_scene = g_tex = None
+    if scene_p and tex_p:
+        _, vjp = jax.vjp(run, scene, textures, st)
+        g_scene, g_tex, g_st = vjp(g)
+    elif scene_p:
+        _, vjp = jax.vjp(lambda sc, s: run(sc, textures, s), scene, st)
+        g_scene, g_st = vjp(g)
+    elif tex_p:
+        _, vjp = jax.vjp(lambda tx, s: run(scene, tx, s), textures, st)
+        g_tex, g_st = vjp(g)
+    else:
+        _, vjp = jax.vjp(lambda s: run(scene, textures, s), st)
+        (g_st,) = vjp(g)
+    # the probe packs are detached by construction (the kernel consumes
+    # everything under stop_gradient): None → symbolic zero, no array
+    return (g_scene, g_tex, g_st, None, None)
 
 
-_fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)
+_fused_step.defvjp(_fused_step_fwd, _fused_step_bwd, symbolic_zeros=True)
 
 
 # step-level block compaction: below this ray count the gather/scatter
@@ -967,34 +1031,340 @@ def make_step(scene, textures, cfg: RenderConfig):
     return lambda st: unpack_state(bp(pack_state(st)))
 
 
+# ---------------------------------------------------------------------------
+# Hand-rolled loop backward (cfg.bwd="loop", the fused-path default)
+#
+# The generic route — jax.checkpoint(scan_body) + lax.scan + the autodiff
+# transpose — re-derives the bounce loop's backward from the forward's
+# control flow, and the r5 xplane profile showed where that goes to die on
+# TPU: every lax.cond (step gate, 3 compaction tiers, fetch gates)
+# transposes into a cond whose untaken branch materialises full-width zero
+# cotangents for every carried array, the remat recompute re-establishes
+# the pinned atlas layout per cond context (~163 copies of the 52 MB u8
+# table), and the saved probe pack gets banked at the UNION of all tier
+# widths.  Writing the loop's VJP by hand removes all of that structurally:
+#
+# * fwd saves exactly (input carry [S,R,16], probe pack [S,C,R]) per chunk;
+# * bwd is a reverse lax.scan whose body WE gate and tier-compact using the
+#   saved alive mask (piecewise constant — the same invariant the forward
+#   gates exploit): dead steps/blocks pass the cotangent through untouched,
+#   live blocks run the saved-mode step VJP at compacted width;
+# * parameter cotangents accumulate in explicit small carries, not through
+#   cond-transpose unions.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_static
+class _Static:
+    """Hashable wrapper carrying static python data (the probe-pack meta)
+    through a custom-VJP residual pytree."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def __eq__(self, o):
+        return isinstance(o, _Static) and self.v == o.v
+
+    def __hash__(self):
+        return hash(self.v)
+
+
+def _block_compact_step_save(step, arr, block):
+    """_block_compact_step for a step that also returns its probe-save pack:
+    arr -> (arr', p_save [C, R]).  Dead blocks keep their carry and write
+    zeros into the pack (no live ray there → the backward never reads it)."""
+    R = arr.shape[0]
+    if R % block or R // block < 8:
+        return step(arr)
+    nb = R // block
+    aliveb = jnp.any((arr[:, 14] > 0.5).reshape(nb, block), axis=1)
+    cnt = jnp.sum(aliveb)
+
+    def compact_at(KB):
+        def compact(arr):
+            bidx = jnp.nonzero(aliveb, size=KB, fill_value=nb)[0]
+            src = jnp.minimum(bidx, nb - 1)
+            blk = arr.reshape(nb, block, _PACK_COLS)
+            sub = blk[src].reshape(KB * block, _PACK_COLS)
+            out, ps = step(sub)
+            C = ps.shape[0]
+            arr2 = (blk.at[bidx]
+                    .set(out.reshape(KB, block, _PACK_COLS), mode="drop")
+                    .reshape(R, _PACK_COLS))
+            ps_full = (jnp.zeros((C, nb, block), ps.dtype)
+                       .at[:, bidx]
+                       .set(ps.reshape(C, KB, block), mode="drop")
+                       .reshape(C, R))
+            return arr2, ps_full
+
+        return compact
+
+    out = step
+    for frac in sorted(set(_STEP_COMPACT_FRACS)):
+        KB = nb // frac
+        if KB < 1:
+            continue
+        inner = out
+        out = (lambda KB, inner: lambda arr: jax.lax.cond(
+            cnt <= KB, compact_at(KB), inner, arr))(KB, inner)
+    return out(arr)
+
+
+def _loop_scan_saving(scene, textures, cfg, arr0):
+    """Forward bounce loop that returns, besides the final carry, the
+    per-step (input carry, probe pack) stacks the hand-rolled backward
+    consumes, plus the static pack meta."""
+    from txr.render.fused import _COMPACT_BLOCK, _PR_SAVE, _probe, pack_pr
+    from txr.render.fused import fused_step_fwd
+
+    metas_cell = []
+
+    def raw(arr):
+        st = unpack_state(arr)
+        pr = _probe(scene, textures, cfg, st["ro"], st["rd"],
+                    shade_flipped=True)
+        R = arr.shape[0]
+        p_save, m_save = pack_pr(pr, R, _PR_SAVE)
+        if not metas_cell:
+            metas_cell.append(m_save)
+        return pack_state(fused_step_fwd(scene, textures, cfg, st, pr=pr)), \
+            p_save
+
+    R = arr0.shape[0]
+
+    def stepped(arr):
+        if cfg.gating and R > _STEP_COMPACT_MIN_R:
+            return _block_compact_step_save(raw, arr, _COMPACT_BLOCK)
+        return raw(arr)
+
+    ps_sds = jax.eval_shape(
+        lambda a: stepped(a)[1],
+        jax.ShapeDtypeStruct(arr0.shape, arr0.dtype))
+
+    def scan_body(arr, _):
+        if cfg.gating:
+            arr2, ps = jax.lax.cond(
+                jnp.any(arr[:, 14] > 0.5), stepped,
+                lambda a: (a, jnp.zeros(ps_sds.shape, ps_sds.dtype)), arr)
+        else:
+            arr2, ps = stepped(arr)
+        return arr2, (arr, ps)
+
+    arr_fin, (arr_ins, psaves) = jax.lax.scan(
+        scan_body, arr0, None, length=cfg.max_steps)
+    return arr_fin, arr_ins, psaves, metas_cell[0]
+
+
+def _acc_init(tree):
+    """Cotangent accumulator for a parameter pytree: zeros for inexact
+    leaves, a scalar dummy for int/bool leaves (their cotangent is float0,
+    which custom-VJP machinery replaces with a symbolic Zero regardless of
+    the value returned — see jax _flatten_bwd)."""
+    return jax.tree.map(
+        lambda x: jnp.zeros(x.shape, x.dtype)
+        if jnp.issubdtype(x.dtype, jnp.inexact)
+        else jnp.zeros((), jnp.float32),
+        tree)
+
+
+def _acc_add(acc, g):
+    def add(a, gl):
+        if gl is None:
+            return a
+        if getattr(gl, "dtype", None) == jax.dtypes.float0:
+            return a
+        return a + gl
+
+    return jax.tree.map(add, acc, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _traced_loop(cfg, scene, textures, arr0):
+    # primal (inference path): exactly the gated/tiered scan of trace()
+    body = make_step_packed(scene, textures, cfg)
+
+    def sb(arr, _):
+        if cfg.gating:
+            return jax.lax.cond(
+                jnp.any(arr[:, 14] > 0.5), body, lambda a: a, arr), None
+        return body(arr), None
+
+    arr, _ = jax.lax.scan(sb, arr0, None, length=cfg.max_steps)
+    return arr
+
+
+def _traced_loop_fwd(cfg, scene, textures, arr0):
+    val = lambda t: jax.tree.map(lambda l: l.value, t)
+    pert = lambda t: any(l.perturbed for l in jax.tree.leaves(t))
+    flags = (((),) if pert(scene) else (), ((),) if pert(textures) else ())
+    scene_v, tex_v, arr0_v = val(scene), val(textures), val(arr0)
+    arr_fin, arr_ins, psaves, metas = _loop_scan_saving(
+        scene_v, tex_v, cfg, arr0_v)
+    return arr_fin, (scene_v, tex_v, arr_ins, psaves, _Static(metas), flags)
+
+
+def _traced_loop_bwd(cfg, res, g):
+    scene, textures, arr_ins, psaves, metas_s, (f_sc, f_tx) = res
+    scene_p, tex_p = bool(f_sc), bool(f_tx)
+    m_save = metas_s.v
+    from txr.render.fused import _COMPACT_BLOCK, saves_of_pr, unpack_pr
+
+    # fast_texels=False in the recompute: u8 and f32 atlases store
+    # bit-identical values (texture.quantize_u8), so the linearisation point
+    # and the gradients are unchanged — but the f32 path never touches the
+    # row-major-pinned u8 table, whose pin the backward could only satisfy
+    # with a 52 MB copy per cond context.
+    cfg_b = dataclasses.replace(cfg, fast_texels=False)
+    R = g.shape[0]
+
+    def step_bwd(arr_in, ps, gc):
+        """VJP of one saved-mode step at the given width."""
+        saved = saves_of_pr(unpack_pr(ps, m_save))
+
+        def run(sc, tx, a):
+            return pack_state(
+                step_jnp(sc, tx, cfg_b, unpack_state(a), saved=saved))
+
+        if scene_p and tex_p:
+            _, vjp = jax.vjp(run, scene, textures, arr_in)
+            gs, gt, ga = vjp(gc)
+        elif scene_p:
+            _, vjp = jax.vjp(lambda sc, a: run(sc, textures, a),
+                             scene, arr_in)
+            gs, ga = vjp(gc)
+            gt = None
+        elif tex_p:
+            _, vjp = jax.vjp(lambda tx, a: run(scene, tx, a),
+                             textures, arr_in)
+            gt, ga = vjp(gc)
+            gs = None
+        else:
+            _, vjp = jax.vjp(lambda a: run(scene, textures, a), arr_in)
+            (ga,) = vjp(gc)
+            gs = gt = None
+        return gs, gt, ga
+
+    block = _COMPACT_BLOCK
+    use_tiers = (cfg.gating and R > _STEP_COMPACT_MIN_R
+                 and R % block == 0 and R // block >= 8)
+    nb = R // block if block and R % block == 0 else 0
+
+    def bwd_body(carry, xs):
+        g, acc_s, acc_t = carry
+        arr_in, ps = xs
+
+        def live(args):
+            g, acc_s, acc_t = args
+            if not use_tiers:
+                gs, gt, ga = step_bwd(arr_in, ps, g)
+                return (ga,
+                        _acc_add(acc_s, gs) if scene_p else acc_s,
+                        _acc_add(acc_t, gt) if tex_p else acc_t)
+            aliveb = jnp.any(
+                (arr_in[:, 14] > 0.5).reshape(nb, block), axis=1)
+            cnt = jnp.sum(aliveb)
+
+            def compact_at(KB):
+                def fn(args):
+                    g, acc_s, acc_t = args
+                    bidx = jnp.nonzero(aliveb, size=KB, fill_value=nb)[0]
+                    src = jnp.minimum(bidx, nb - 1)
+                    ab = arr_in.reshape(nb, block, _PACK_COLS)
+                    gb = g.reshape(nb, block, _PACK_COLS)
+                    C = ps.shape[0]
+                    psb = ps.reshape(C, nb, block)
+                    arr_c = ab[src].reshape(KB * block, _PACK_COLS)
+                    g_c = gb[src].reshape(KB * block, _PACK_COLS)
+                    ps_c = psb[:, src].reshape(C, KB * block)
+                    gs, gt, ga_c = step_bwd(arr_c, ps_c, g_c)
+                    # dead lanes: the step was an identity there, so their
+                    # cotangent passes through unchanged (start from g)
+                    g2 = (gb.at[bidx]
+                          .set(ga_c.reshape(KB, block, _PACK_COLS),
+                               mode="drop")
+                          .reshape(R, _PACK_COLS))
+                    return (g2,
+                            _acc_add(acc_s, gs) if scene_p else acc_s,
+                            _acc_add(acc_t, gt) if tex_p else acc_t)
+
+                return fn
+
+            def full(args):
+                g, acc_s, acc_t = args
+                gs, gt, ga = step_bwd(arr_in, ps, g)
+                return (ga,
+                        _acc_add(acc_s, gs) if scene_p else acc_s,
+                        _acc_add(acc_t, gt) if tex_p else acc_t)
+
+            out = full
+            for frac in sorted(set(_STEP_COMPACT_FRACS)):
+                KB = nb // frac
+                if KB < 1:
+                    continue
+                inner = out
+                out = (lambda KB, inner: lambda args: jax.lax.cond(
+                    cnt <= KB, compact_at(KB), inner, args))(KB, inner)
+            return out(args)
+
+        if cfg.gating:
+            carry2 = jax.lax.cond(
+                jnp.any(arr_in[:, 14] > 0.5), live, lambda a: a,
+                (g, acc_s, acc_t))
+        else:
+            carry2 = live((g, acc_s, acc_t))
+        return carry2, None
+
+    init = (g,
+            _acc_init(scene) if scene_p else (),
+            _acc_init(textures) if tex_p else ())
+    (g0, acc_s, acc_t), _ = jax.lax.scan(
+        bwd_body, init, (arr_ins, psaves), reverse=True)
+    return (acc_s if scene_p else None,
+            acc_t if tex_p else None,
+            g0)
+
+
+_traced_loop.defvjp(_traced_loop_fwd, _traced_loop_bwd, symbolic_zeros=True)
+
+
 def trace(scene, textures, cfg: RenderConfig, ro, rd):
     """The iterative bounce loop (rt.frag:804-902).  ro, rd: [R,3] →
     RGB [R,3].  The scan carry is the PACKED [R, 16] state (pack_state):
     the step gate and compaction tiers then move one array per cond
-    boundary instead of 13."""
+    boundary instead of 13.
+
+    Backward: the fused path routes the loop through _traced_loop (the
+    hand-rolled loop VJP above, cfg.bwd="loop"); cfg.bwd="scan" keeps the
+    generic jax.checkpoint + scan-transpose route (the diffing reference,
+    and the only route for the jnp/CPU body)."""
     arr0 = pack_state(initial_state(ro, rd))
-    body = make_step_packed(scene, textures, cfg)
 
-    def scan_body(arr, _):
-        # Fragment shaders break out of the loop per pixel; a TPU batch
-        # can't — but it CAN skip a whole step when every ray in the batch
-        # is dead (the common case for the refraction-budget tail steps and
-        # for sky-dominated ray chunks).  body() is a bit-exact identity on
-        # a dead batch, so the gate never changes the image.
-        if cfg.gating:
-            arr2 = jax.lax.cond(
-                jnp.any(arr[:, 14] > 0.5), body, lambda a: a, arr)
-        else:
-            arr2 = body(arr)
-        return arr2, None
+    if cfg.bwd == "loop" and _use_fused(scene, cfg, ro):
+        arr = _traced_loop(cfg, scene, textures, arr0)
+    else:
+        body = make_step_packed(scene, textures, cfg)
 
-    if cfg.remat:
-        scan_body = jax.checkpoint(
-            scan_body,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "txr_step_out", "txr_step_saved"),
-        )
-    arr, _ = jax.lax.scan(scan_body, arr0, None, length=cfg.max_steps)
+        def scan_body(arr, _):
+            # Fragment shaders break out of the loop per pixel; a TPU batch
+            # can't — but it CAN skip a whole step when every ray in the
+            # batch is dead (the common case for the refraction-budget tail
+            # steps and for sky-dominated ray chunks).  body() is a
+            # bit-exact identity on a dead batch, so the gate never changes
+            # the image.
+            if cfg.gating:
+                arr2 = jax.lax.cond(
+                    jnp.any(arr[:, 14] > 0.5), body, lambda a: a, arr)
+            else:
+                arr2 = body(arr)
+            return arr2, None
+
+        if cfg.remat:
+            scan_body = jax.checkpoint(
+                scan_body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "txr_step_out", "txr_step_saved"),
+            )
+        arr, _ = jax.lax.scan(scan_body, arr0, None, length=cfg.max_steps)
     state = unpack_state(arr)
 
     # the single deferred environment fetch (see initial_state)
