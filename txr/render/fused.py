@@ -164,9 +164,11 @@ def shadow_from_probes(scene, textures, cfg, solid, ring_hit, ring_uv):
                 return jnp.sum(jnp.where(needa, a, 0.0), axis=-1)
 
             if cfg.gating:
+                # skip value derived from a varying input (sh), not a fresh
+                # constant — both branches must agree on the device-varying
+                # type under shard_map
                 asum = jax.lax.cond(
-                    jnp.any(needa), alpha_fetch,
-                    lambda: jnp.zeros(sh.shape, sh.dtype))
+                    jnp.any(needa), alpha_fetch, lambda: sh * 0.0)
             else:
                 asum = alpha_fetch()
             sh = sh + asum

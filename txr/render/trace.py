@@ -1091,7 +1091,11 @@ def _block_compact_step_save(step, arr, block):
             arr2 = (blk.at[bidx]
                     .set(out.reshape(KB, block, _PACK_COLS), mode="drop")
                     .reshape(R, _PACK_COLS))
-            ps_full = (jnp.zeros((C, nb, block), ps.dtype)
+            # zero canvas derived from a varying input (not a fresh
+            # constant) so the scatter operand carries the same
+            # device-varying type as its updates under shard_map
+            ps_full = ((jnp.zeros((C, nb, block), ps.dtype)
+                        + arr[0, 0] * 0.0)
                        .at[:, bidx]
                        .set(ps.reshape(C, KB, block), mode="drop")
                        .reshape(C, R))
@@ -1143,9 +1147,13 @@ def _loop_scan_saving(scene, textures, cfg, arr0):
 
     def scan_body(arr, _):
         if cfg.gating:
+            # the skip pack derives from a varying input (not a fresh
+            # constant) so both cond branches agree on the device-varying
+            # type under shard_map
             arr2, ps = jax.lax.cond(
                 jnp.any(arr[:, 14] > 0.5), stepped,
-                lambda a: (a, jnp.zeros(ps_sds.shape, ps_sds.dtype)), arr)
+                lambda a: (a, jnp.zeros(ps_sds.shape, ps_sds.dtype)
+                           + a[0, 0] * 0.0), arr)
         else:
             arr2, ps = stepped(arr)
         return arr2, (arr, ps)
@@ -1155,15 +1163,17 @@ def _loop_scan_saving(scene, textures, cfg, arr0):
     return arr_fin, arr_ins, psaves, metas_cell[0]
 
 
-def _acc_init(tree):
+def _acc_init(tree, vzero):
     """Cotangent accumulator for a parameter pytree: zeros for inexact
     leaves, a scalar dummy for int/bool leaves (their cotangent is float0,
     which custom-VJP machinery replaces with a symbolic Zero regardless of
-    the value returned — see jax _flatten_bwd)."""
+    the value returned — see jax _flatten_bwd).  ``vzero``: a zero scalar
+    derived from a varying input, added so the accumulators carry the
+    device-varying type of the per-device partial sums under shard_map."""
     return jax.tree.map(
-        lambda x: jnp.zeros(x.shape, x.dtype)
+        lambda x: jnp.zeros(x.shape, x.dtype) + vzero.astype(x.dtype)
         if jnp.issubdtype(x.dtype, jnp.inexact)
-        else jnp.zeros((), jnp.float32),
+        else jnp.zeros((), jnp.float32) + vzero,
         tree)
 
 
@@ -1314,9 +1324,10 @@ def _traced_loop_bwd(cfg, res, g):
             carry2 = live((g, acc_s, acc_t))
         return carry2, None
 
+    vzero = g[0, 0] * 0.0
     init = (g,
-            _acc_init(scene) if scene_p else (),
-            _acc_init(textures) if tex_p else ())
+            _acc_init(scene, vzero) if scene_p else (),
+            _acc_init(textures, vzero) if tex_p else ())
     (g0, acc_s, acc_t), _ = jax.lax.scan(
         bwd_body, init, (arr_ins, psaves), reverse=True)
     return (acc_s if scene_p else None,
